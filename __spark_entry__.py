@@ -1,38 +1,417 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship path: build a yetisearch_spark inverted
+index over the sf0.001 ``documents`` table and serve a BM25 query through
+the real engine.
+
+``queries()``/``oracle_sql()`` cover the SURVEY.md §2 operator inventory
+with DuckDB-checkable semantics. Search-family entries use a simple
+SQL-expressible tokenizer (lowercase ``[^a-z0-9]+`` split) so the oracle
+can reproduce BM25/phrase math exactly; the full analyzer pipeline
+(stem/stop/contractions) is verified separately by the pytest
+rank-identity suite against a SQLite FTS5 oracle (tests/test_rank_identity.py).
+
+Column names and types are aligned on both sides (driver hashes values
+after sorting columns by name). Floats are rounded to 4dp on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+BM25_TERMS = ["data", "query", "spark"]
+K1, B = 1.2, 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) with the simple SQL-parity tokenizer (0-based
+    pos; only relative positions are ever compared)."""
+    return (docs
+            .select("doc_id", F.posexplode(F.split(F.lower("text"), TOKEN_SPLIT))
+                    .alias("pos", "term"))
+            .where(F.col("term") != ""))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries (each mirrors an oracle_sql entry; SURVEY §2 refs inline)
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: BM25 top-10 (OR over BM25_TERMS), FTS5 idf clamp semantics."""
+    docs = _docs(spark, sf_dir)
+    tok = _tokens(docs)
+    n_docs = docs.count()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    tfs = (tok.where(F.col("term").isin(BM25_TERMS))
+           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_raw = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.when(idf_raw <= 0.0, F.lit(1e-6)).otherwise(idf_raw)
+    scored = (tfs.join(dfs, "term").join(dl, "doc_id")
+              .select("doc_id",
+                      (idf * F.col("tf").cast("double") * (K1 + 1.0)
+                       / (F.col("tf").cast("double")
+                          + K1 * (1.0 - B + B * F.col("dl").cast("double") / float(avgdl)))
+                       ).alias("c"))
+              .groupBy("doc_id").agg(F.sum("c").alias("s")))
+    return (scored.select("doc_id", F.round("s", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: vocabulary aggregation (term → df, cf), top-100 by df."""
+    tok = _tokens(_docs(spark, sf_dir))
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (per_doc.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.sum("tf").cast("long").alias("cf"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(100))
+
+
+def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5: value-count facet over a metadata column."""
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lang")))
+
+
+def q_count_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M8: count of docs matching implicit-AND of two terms."""
+    tok = _tokens(_docs(spark, sf_dir))
+    hits = (tok.where(F.col("term").isin(["data", "query"]))
+            .groupBy("doc_id").agg(F.count_distinct("term").alias("nt"))
+            .where(F.col("nt") == 2))
+    return hits.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def q_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: adjacent-token phrase "data query" — doc count."""
+    tok = _tokens(_docs(spark, sf_dir))
+    a = tok.where(F.col("term") == "data").select("doc_id", F.col("pos").alias("pa"))
+    b = tok.where(F.col("term") == "query").select("doc_id", F.col("pos").alias("pb"))
+    hits = a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
+    return hits.agg(F.count_distinct("doc_id").cast("long").alias("cnt"))
+
+
+def q_keyword_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/A8: corpus keyword frequency, top 20."""
+    tok = _tokens(_docs(spark, sf_dir))
+    return (tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("term")).limit(20))
+
+
+def q_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: group roll-up keeping an argmax representative per group
+    (reference dedup-by-route, src/Search/SearchEngine.php:1112-1169)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    rep = (docs.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("source", F.col("doc_id").alias("rep_doc_id")))
+    agg = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars")))
+    return agg.join(rep, "source").orderBy("source")
+
+
+def q_topk_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: filtered multi-key order-by + limit."""
+    return (_docs(spark, sf_dir).where(F.col("lang") == "en")
+            .select("doc_id", "lang", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20))
+
+
+def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: in / between / like predicates (Catalyst-pushed)."""
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.col("event_type").isin(["signup", "error"])
+                     & F.col("value").between(50.0, 150.0)
+                     & F.col("props").like('%"k": 1%'))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("event_type"))
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: window function — per-user argmax event."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("user_id", "event_id", F.round("value", 4).alias("value"))
+            .orderBy("user_id"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: exact dedup stats per lang (hash-groupBy)."""
+    docs = _docs(spark, sf_dir)
+    return (docs.withColumn("h", F.md5(F.col("text")))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_distinct("h").cast("long").alias("n_distinct"))
+            .orderBy("lang"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: token counting per lang."""
+    docs = _docs(spark, sf_dir)
+    tok = _tokens(docs)
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    joined = docs.select("doc_id", "lang").join(per_doc, "doc_id", "left") \
+                 .fillna(0, ["n_tok"])
+    return (joined.groupBy("lang")
+            .agg(F.sum("n_tok").cast("long").alias("total_tokens"),
+                 F.round(F.avg("n_tok"), 4).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: per-doc quality features (length/punct)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    stripped = F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    return (docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        (F.length("text") - F.length(stripped)).cast("long").alias("punct_cnt"))
+        .orderBy("doc_id"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-10 against vec_id 0
+    (JVM higher-order functions — no Python in the hot path)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                                lambda acc, x: acc + x * x))
+    norm_q = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
+    cos = dot / (norm_a * F.lit(norm_q))
+    return (emb.where(F.col("vec_id") != 0)
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg parity (TPC-H Q1 shape) over lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).cast("long").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path (analyzer → postings index → BM25 top-k). Verified
+    rank-identical to SQLite FTS5 by tests/test_rank_identity.py; here the
+    driver records a rows-only check (stemming isn't ANSI-SQL-expressible)."""
+    df = _engine_index(spark, sf_dir).search("data AND query", k=10)
+    return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_ENGINE_CACHE: dict = {}
+
+
+def _engine_index(spark: SparkSession, sf_dir: str):
+    from yetisearch_spark.build import build_index
+    from yetisearch_spark.query import SearchIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    out = os.path.join("/tmp/yetisearch_entry_idx",
+                       key.strip("/").replace("/", "_"))
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("source").alias("role"),
+        "text",
+        F.col("lang").alias("tool"),
+        F.current_timestamp().alias("ts"))
+    build_index(spark, transcripts, out, num_buckets=8, input_path=sf_dir)
+    idx = SearchIndex(spark, out)
+    _ENGINE_CACHE[key] = idx
+    return idx
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: engine-built inverted index over sf0.001 documents, BM25
+    top-10 for a mixed AND/OR/prefix query, joined back to doc payload."""
+    idx = _engine_index(spark, "/root/testdata/sf0.001")
+    return (idx.search("(data AND query) OR spark*", k=10, with_docs=True)
+            .select("doc_id", "score", "conv_id", "role", "text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "term_stats": q_term_stats,
+        "facet_lang": q_facet_lang,
+        "count_and": q_count_and,
+        "phrase_count": q_phrase_count,
+        "keyword_topn": q_keyword_topn,
+        "dedup_rollup": q_dedup_rollup,
+        "topk_orderby": q_topk_orderby,
+        "filter_ops": q_filter_ops,
+        "events_window": q_events_window,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "tpch_q1": q_tpch_q1,
+        "engine_search": q_engine_search,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK_SQL = """
+    SELECT doc_id, u.term AS term, u.pos AS pos
+    FROM documents,
+         LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+                         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos) u
+    WHERE u.term <> ''
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": f"""
+            WITH tok AS ({_TOK_SQL}),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+            tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    WHERE term IN ('data','query','spark') GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+            scored AS (
+                SELECT t.doc_id,
+                       sum( (CASE WHEN ln((g.n - d.df + 0.5)/(d.df + 0.5)) <= 0
+                                  THEN 0.000001
+                                  ELSE ln((g.n - d.df + 0.5)/(d.df + 0.5)) END)
+                            * t.tf * {K1 + 1.0}
+                            / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl)) ) AS s
+                FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id) CROSS JOIN g
+                GROUP BY t.doc_id)
+            SELECT doc_id, round(s, 4) AS score FROM scored
+            ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+        """,
+        "term_stats": f"""
+            WITH tok AS ({_TOK_SQL}),
+            per_doc AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+            SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+            FROM per_doc GROUP BY term ORDER BY df DESC, term LIMIT 100
+        """,
+        "facet_lang": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents
+            GROUP BY lang ORDER BY cnt DESC, lang
+        """,
+        "count_and": f"""
+            WITH tok AS ({_TOK_SQL})
+            SELECT CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT doc_id FROM tok WHERE term IN ('data','query')
+                GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+        """,
+        "phrase_count": f"""
+            WITH tok AS ({_TOK_SQL})
+            SELECT CAST(count(DISTINCT a.doc_id) AS BIGINT) AS cnt
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'data' AND b.term = 'query'
+        """,
+        "keyword_topn": f"""
+            WITH tok AS ({_TOK_SQL})
+            SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok
+            GROUP BY term ORDER BY freq DESC, term LIMIT 20
+        """,
+        "dedup_rollup": """
+            WITH rep AS (
+                SELECT source, doc_id AS rep_doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents),
+            agg AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM documents GROUP BY source)
+            SELECT agg.source, n_docs, total_chars, rep_doc_id
+            FROM agg JOIN rep ON agg.source = rep.source AND rep.rn = 1
+            ORDER BY agg.source
+        """,
+        "topk_orderby": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "filter_ops": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE event_type IN ('signup','error')
+              AND value BETWEEN 50.0 AND 150.0
+              AND props LIKE '%"k": 1%'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "events_window": """
+            SELECT user_id, event_id, round(value, 4) AS value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "exact_dedup": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "token_count": f"""
+            WITH tok AS ({_TOK_SQL}),
+            per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+            joined AS (SELECT d.lang, coalesce(p.n_tok, 0) AS n_tok
+                       FROM documents d LEFT JOIN per_doc p USING(doc_id))
+            SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(avg(n_tok), 4) AS avg_tokens
+            FROM joined GROUP BY lang ORDER BY lang
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_raw,
+                   CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt
+            FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        # engine_search: intentionally omitted — full analyzer (Porter stem,
+        # stop-filter, contractions) is not ANSI-SQL-expressible; covered by
+        # the SQLite FTS5 rank-identity pytest suite instead.
+    }

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures (a) the headline operator queries over $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and (b) the real inverted-index build +
+BM25 query path over a deterministic synthetic transcript corpus
+(BENCH_TURNS turns, default 200k), on local[$SPARK_GRAFT_CPUS].
+
+Output: {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., plus build/query throughput
+         extras used by BENCH/BASELINE.md}.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__))
+                            + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "200000"))
+WORK_DIR = os.environ.get("BENCH_WORK_DIR", "/tmp/yetisearch_bench")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder
+        .master(f"local[{CPUS}]")
+        .appName("yetisearch-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from yetisearch_spark.corpus import write_corpus_parquet
+    from yetisearch_spark.build import build_index
+    from yetisearch_spark.query import SearchIndex
+
+    timings: dict[str, float] = {}
+
+    # -- headline operator queries over the sf tables -----------------------
+    headline = ["bm25_topk", "term_stats", "phrase_count", "dedup_rollup",
+                "filter_ops", "events_window", "exact_dedup", "token_count",
+                "ann_cosine_topk", "tpch_q1"]
+    qs = entry_mod.queries()
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 4)
+
+    # -- index build throughput over synthetic transcripts ------------------
+    corpus_dir = os.path.join(WORK_DIR, f"corpus_{BENCH_TURNS}")
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        write_corpus_parquet(corpus_dir, BENCH_TURNS, seed=42)
+        open(os.path.join(corpus_dir, "_DONE"), "w").write("ok")
+    index_dir = os.path.join(WORK_DIR, f"index_{BENCH_TURNS}_{CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    transcripts = spark.read.parquet(corpus_dir)
+    t0 = time.time()
+    build_index(spark, transcripts, index_dir, input_path=corpus_dir,
+                shuffle_partitions=max(CPUS, 8))
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 4)
+    turns_per_sec = BENCH_TURNS / build_s
+
+    # -- BM25 query latency over the built index ----------------------------
+    idx = SearchIndex(spark, index_dir)
+    bench_queries = {
+        "engine_single": "search",
+        "engine_and": "data AND process",
+        "engine_or": "error OR fail OR bug",
+        "engine_phrase": '"data process"',
+        "engine_near": 'NEAR("search" "index", 10)',
+        "engine_prefix": "comput*",
+    }
+    q_lat = []
+    for name, q in bench_queries.items():
+        t0 = time.time()
+        idx.search(q, k=10).collect()
+        dt = time.time() - t0
+        timings[name] = round(dt, 4)
+        q_lat.append(dt)
+    q_lat.sort()
+    p95 = q_lat[max(0, int(len(q_lat) * 0.95) - 1)] if q_lat else 0.0
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline suite wall time (operators + index build + BM25 queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "bench_turns": BENCH_TURNS,
+        "index_build_turns_per_sec": round(turns_per_sec, 1),
+        "bm25_p95_query_sec": round(p95, 4),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -186,12 +186,17 @@ def build_index(
     if not _stage_done(manifest, "docs"):
         t0 = time.time()
         analyze_udf = make_analyze_udf()
+        with_ids = assign_doc_ids(transcripts, ["conv_id", "turn_idx"],
+                                  shuffle_partitions)
         docs = (
-            assign_doc_ids(transcripts, ["conv_id", "turn_idx"], shuffle_partitions)
+            with_ids
             .withColumn("tokens", analyze_udf(F.col("text")))
             .withColumn("doc_len", F.size("tokens"))
         )
         docs.write.mode("overwrite").parquet(docs_path)
+        parent = getattr(with_ids, "_ys_persisted_parent", None)
+        if parent is not None:
+            parent.unpersist()
         n_docs = spark.read.parquet(docs_path).count()
         _commit_stage(out_dir, manifest, "docs", {"docs": n_docs}, time.time() - t0)
 

@@ -41,6 +41,14 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None,
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
           .sortWithinPartitions(*order_cols)
     )
+    # Materialize before the two passes: range boundaries are sampled and
+    # AQE may re-plan per action, so an un-persisted plan can present
+    # DIFFERENT partitionings to the count job and the assignment job
+    # (observed: duplicate doc_ids at 50k rows). The cache pins one
+    # physical partitioning for both. The caller should unpersist after
+    # materializing the result (build_index does, right after the docs
+    # stage write).
+    sorted_df = sorted_df.persist()
 
     counts = (
         sorted_df.select(F.spark_partition_id().alias("pid"))
@@ -66,4 +74,7 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None,
             seen += len(pdf)
             yield pdf
 
-    return sorted_df.mapInPandas(add_ids, schema=out_schema)
+    out = sorted_df.mapInPandas(add_ids, schema=out_schema)
+    # expose the persisted parent so callers can release it post-write
+    out._ys_persisted_parent = sorted_df  # type: ignore[attr-defined]
+    return out
