@@ -37,8 +37,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                DoubleType, StringType, StructField, StructType)
 
 from .udfs import make_analyze_udf, make_postings_udf
-from .docids import assign_doc_ids
-from .postings import BLOCK_SIZE, bm25_norm, encode_posting_block
+from .docids import doc_id_expr, partition_offsets, with_partition_ordinals
+from .postings import BLOCK_SIZE
 
 DEFAULT_NUM_BUCKETS = 32
 DEFAULT_SALT_THRESHOLD = 100_000
@@ -77,6 +77,17 @@ def _stage_done(manifest: dict, stage: str) -> bool:
     return manifest["stages"].get(stage, {}).get("status") == "done"
 
 
+def load_docs(spark: SparkSession, out_dir: str,
+              manifest: dict | None = None) -> DataFrame:
+    """Docs table with the doc_id column materialized as a Catalyst
+    expression over the staged (_pid, _ord) ordinals (see docids.py)."""
+    manifest = manifest or load_manifest(out_dir)
+    offsets = {int(k): int(v) for k, v in
+               manifest["stages"]["docs"]["counters"]["doc_offsets"].items()}
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    return docs.withColumn("doc_id", doc_id_expr(offsets)).drop("_pid", "_ord")
+
+
 # ---------------------------------------------------------------------------
 # Stage kernels
 # ---------------------------------------------------------------------------
@@ -95,55 +106,106 @@ _ENCODED_SCHEMA = StructType([
 
 
 def _encode_partition_factory(avgdl: float, block_size: int):
-    """mapInPandas fn: rows sorted by (term, salt, doc_id) within the
-    partition → encoded block rows. Carries the open (term, salt) group
-    across Arrow batch boundaries."""
+    """mapInArrow fn: rows sorted by (term, salt, doc_id) within the
+    partition → encoded block rows. Fully vectorized: positions arrive as
+    an Arrow ListArray whose offsets/values feed encode_posting_group
+    directly (no per-doc Python — measured ~50µs/posting with the naive
+    pandas kernel, dominated by per-row list conversions). Carries the
+    open (term, salt) group across Arrow batch boundaries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .postings import encode_posting_group
+
+    out_schema = pa.schema([
+        ("bucket", pa.int32()), ("term", pa.string()), ("salt", pa.int32()),
+        ("block_id", pa.int32()), ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()), ("n_docs", pa.int32()),
+        ("block_max_norm", pa.float64()), ("data", pa.binary()),
+    ])
+
+    def to_numpy_cols(batch):
+        term = batch.column("term").to_numpy(zero_copy_only=False)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
+        salt = batch.column("salt").to_numpy(zero_copy_only=False)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        doc_len = batch.column("doc_len").to_numpy(zero_copy_only=False)
+        plist = batch.column("positions")
+        lengths = pc.list_value_length(plist).to_numpy(zero_copy_only=False)
+        values = pc.list_flatten(plist).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+        return dict(term=term, bucket=bucket, salt=salt, doc_id=doc_id,
+                    tf=tf, doc_len=doc_len, offsets=offsets, values=values)
+
+    def concat_cols(a, b):
+        out = {k: np.concatenate((a[k], b[k]))
+               for k in ("term", "bucket", "salt", "doc_id", "tf", "doc_len",
+                         "values")}
+        out["offsets"] = np.concatenate(
+            (a["offsets"], b["offsets"][1:] + a["offsets"][-1]))
+        return out
+
+    def slice_cols(c, lo, hi):
+        out = {k: c[k][lo:hi]
+               for k in ("term", "bucket", "salt", "doc_id", "tf", "doc_len")}
+        vlo, vhi = int(c["offsets"][lo]), int(c["offsets"][hi])
+        out["values"] = c["values"][vlo:vhi]
+        out["offsets"] = c["offsets"][lo:hi + 1] - vlo
+        return out
+
+    def encode_groups(c, boundaries):
+        """boundaries: group start indices incl. 0 and end."""
+        res = {k: [] for k in ("bucket", "term", "salt", "block_id",
+                               "min_doc", "max_doc", "n_docs",
+                               "block_max_norm", "data")}
+        for gi in range(len(boundaries) - 1):
+            lo, hi = boundaries[gi], boundaries[gi + 1]
+            g = slice_cols(c, lo, hi)
+            rows = encode_posting_group(
+                g["doc_id"].astype(np.int64), g["tf"].astype(np.int64),
+                g["doc_len"].astype(np.int64), g["offsets"], g["values"],
+                block_size, avgdl)
+            for (bid, mind, maxd, nd, bmax, data) in rows:
+                res["bucket"].append(int(c["bucket"][lo]))
+                res["term"].append(c["term"][lo])
+                res["salt"].append(int(c["salt"][lo]))
+                res["block_id"].append(bid)
+                res["min_doc"].append(mind)
+                res["max_doc"].append(maxd)
+                res["n_docs"].append(nd)
+                res["block_max_norm"].append(bmax)
+                res["data"].append(data)
+        if not res["term"]:
+            return None
+        return pa.RecordBatch.from_pydict(
+            {k: pa.array(v, type=out_schema.field(k).type)
+             for k, v in res.items()}, schema=out_schema)
 
     def encode_partition(batches):
-        carry: pd.DataFrame | None = None
-
-        def flush(group: pd.DataFrame) -> pd.DataFrame:
-            term = group["term"].iat[0]
-            bucket = int(group["bucket"].iat[0])
-            salt = int(group["salt"].iat[0])
-            doc_ids = group["doc_id"].to_numpy(dtype=np.int64)
-            order = np.argsort(doc_ids, kind="stable")
-            doc_ids = doc_ids[order]
-            tfs = group["tf"].to_numpy(dtype=np.int64)[order]
-            dls = group["doc_len"].to_numpy(dtype=np.int64)[order]
-            poss = group["positions"].to_numpy()[order]
-            rows = []
-            for b0 in range(0, len(doc_ids), block_size):
-                b1 = min(b0 + block_size, len(doc_ids))
-                ids, t, d = doc_ids[b0:b1], tfs[b0:b1], dls[b0:b1]
-                data = encode_posting_block(
-                    ids, t, d, [np.asarray(p, dtype=np.int64) for p in poss[b0:b1]])
-                rows.append((bucket, term, salt, b0 // block_size,
-                             int(ids[0]), int(ids[-1]), len(ids),
-                             float(bm25_norm(t, d, avgdl).max()), data))
-            return pd.DataFrame(rows, columns=[f.name for f in _ENCODED_SCHEMA.fields])
-
-        for pdf in batches:
-            if pdf.empty:
+        carry = None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            c = to_numpy_cols(batch)
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+                c = concat_cols(carry, c)
                 carry = None
-            # group key ordinal (rows arrive sorted by term, salt)
-            key = pdf["term"].astype(str) + "\x00" + pdf["salt"].astype(str)
-            change = key.ne(key.shift())
-            gid = change.cumsum()
-            last_gid = gid.iat[-1]
-            outs = []
-            for g, group in pdf.groupby(gid, sort=False):
-                if g == last_gid:
-                    carry = group  # may continue in next batch
-                else:
-                    outs.append(flush(group))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if carry is not None and not carry.empty:
-            yield flush(carry)
+            term, salt = c["term"], c["salt"]
+            change = np.flatnonzero(
+                (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])) + 1
+            # last group may continue in the next batch → carry it
+            last_start = int(change[-1]) if change.size else 0
+            carry = slice_cols(c, last_start, len(term))
+            boundaries = [0] + change[:-1].tolist() + [last_start] \
+                if change.size else [0, 0]
+            rb = encode_groups(c, boundaries)
+            if rb is not None:
+                yield rb
+        if carry is not None and carry["term"].size:
+            rb = encode_groups(carry, [0, carry["term"].size])
+            if rb is not None:
+                yield rb
 
     return encode_partition
 
@@ -182,25 +244,26 @@ def build_index(
     gs_path = os.path.join(out_dir, "global_stats")
     post_path = os.path.join(out_dir, "postings")
 
-    # -- stage 1: docs (doc_id assignment + analysis) -----------------------
+    # -- stage 1: docs (sort + analysis in ONE data pass; doc_id becomes a
+    # Catalyst expression over the staged (_pid, _ord) columns) -------------
     if not _stage_done(manifest, "docs"):
         t0 = time.time()
         analyze_udf = make_analyze_udf()
-        with_ids = assign_doc_ids(transcripts, ["conv_id", "turn_idx"],
-                                  shuffle_partitions)
+        staged = with_partition_ordinals(transcripts, ["conv_id", "turn_idx"],
+                                         shuffle_partitions)
         docs = (
-            with_ids
+            staged
             .withColumn("tokens", analyze_udf(F.col("text")))
             .withColumn("doc_len", F.size("tokens"))
         )
         docs.write.mode("overwrite").parquet(docs_path)
-        parent = getattr(with_ids, "_ys_persisted_parent", None)
-        if parent is not None:
-            parent.unpersist()
-        n_docs = spark.read.parquet(docs_path).count()
-        _commit_stage(out_dir, manifest, "docs", {"docs": n_docs}, time.time() - t0)
+        offsets, n_docs = partition_offsets(spark.read.parquet(docs_path))
+        _commit_stage(out_dir, manifest, "docs",
+                      {"docs": n_docs,
+                       "doc_offsets": {str(k): v for k, v in offsets.items()}},
+                      time.time() - t0)
 
-    docs_df = spark.read.parquet(docs_path)
+    docs_df = load_docs(spark, out_dir, manifest)
 
     # -- stage 2: raw postings (per-row term aggregation, zero shuffle) -----
     if not _stage_done(manifest, "raw_postings"):
@@ -219,7 +282,12 @@ def build_index(
                 "doc_len",
             )
         )
-        raw.write.mode("overwrite").partitionBy("bucket").parquet(raw_path)
+        # plain files (bucket stays a column): partitionBy here would fan out
+        # tasks×buckets small files and every downstream stage pays to open
+        # them (measured 11× slowdown at 32 cores). The final postings table
+        # is the one that needs physical bucket partitioning for query-time
+        # pruning.
+        raw.write.mode("overwrite").parquet(raw_path)
         n_post = spark.read.parquet(raw_path).count()
         _commit_stage(out_dir, manifest, "raw_postings",
                       {"postings": n_post}, time.time() - t0)
@@ -269,10 +337,15 @@ def build_index(
         encoded = (
             salted.repartition(shuffle_partitions, "term", "salt")
                   .sortWithinPartitions("term", "salt", "doc_id")
-                  .mapInPandas(_encode_partition_factory(avgdl, block_size),
-                               schema=_ENCODED_SCHEMA)
+                  .mapInArrow(_encode_partition_factory(avgdl, block_size),
+                              schema=_ENCODED_SCHEMA)
         )
-        (encoded.write.mode("overwrite").partitionBy("bucket").parquet(post_path))
+        # second (cheap — compressed blocks) shuffle: one file per bucket,
+        # terms sorted within, so query-time term predicates prune on
+        # parquet row-group min/max stats instead of opening shards
+        (encoded.repartition(num_buckets, "bucket")
+                .sortWithinPartitions("term", "salt", "block_id")
+                .write.mode("overwrite").partitionBy("bucket").parquet(post_path))
         per_bucket = (
             spark.read.parquet(post_path)
                  .groupBy("bucket")

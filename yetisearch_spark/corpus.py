@@ -152,7 +152,8 @@ def write_corpus_parquet(path: str, n_turns: int, seed: int = 42,
         # keep conv_ids globally unique across files
         pdf["conv_id"] = pdf["conv_id"].str.replace("conv_", f"conv{part:03d}_", regex=False)
         table = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"),
+                       row_group_size=25_000)
         written += len(pdf)
         part += 1
     return written

@@ -6,75 +6,89 @@ order. Our document identity is (conv_id, turn_idx) under stable
 ordering; doc_id = dense 0-based rank over ``ORDER BY conv_id,
 turn_idx``.
 
-Scale notes (the reason this isn't ``row_number() OVER (ORDER BY …)``):
-a partitionless window collapses to ONE partition. Instead we use the
-TeraSort shape — range-repartition + sortWithinPartitions — then a
-two-job count/offset pass over the *same* shuffled DataFrame (Spark
-reuses the shuffle files, so both jobs observe identical partitioning):
+Scale design (and why this isn't ``row_number() OVER (ORDER BY …)`` —
+a partitionless window collapses to ONE partition):
 
-  1. per-partition row counts → driver (P integers) → exclusive prefix sum
-  2. mapInPandas adds doc_id = offset[partition] + local ordinal
+  1. ONE data pass: TeraSort shape (range-repartition +
+     sortWithinPartitions), then two JVM-side columns:
+     ``_pid = spark_partition_id()`` and ``_ord`` extracted from
+     ``monotonically_increasing_id()`` (which is pid<<33 | ordinal, so
+     ``_ord = mid - (pid << 33)`` — the per-partition row ordinal with
+     zero Python). The caller persists this stage to Parquet.
+  2. A metadata-only pass over the persisted file computes per-partition
+     counts → exclusive prefix offsets (P integers, committed to the
+     manifest).
+  3. ``doc_id`` is thereafter a pure Catalyst expression
+     (offset[_pid] + _ord) — no extra shuffle, no cached RDD, and
+     resume-stable because the staged Parquet is the source of truth
+     (range-boundary sampling never has to be reproducible across runs).
 
-Determinism across *re-runs* is provided one level up: the build
-persists ``doc_stats`` (doc_id ↔ conv_id/turn_idx) as its first
-committed artifact, and a resumed build reloads that mapping instead of
-recomputing (see build.py), so sampled range boundaries never have to
-be reproducible.
+This replaces an earlier two-job design whose count and assignment jobs
+could observe different physical partitionings under AQE (duplicate
+doc_ids at 50k rows).
 """
 
 from __future__ import annotations
 
-from pyspark import TaskContext
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql import Column, DataFrame, functions as F
 
 
-def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None,
-                   num_partitions: int | None = None) -> DataFrame:
-    """Returns df + ``doc_id`` (long), densely numbered in order_cols order."""
+def with_partition_ordinals(df: DataFrame, order_cols: list[str] | None = None,
+                            num_partitions: int | None = None) -> DataFrame:
+    """df + (_pid int, _ord long), globally ordered by (order_cols):
+    partition ranges ascend with _pid, rows sorted within."""
     order_cols = order_cols or ["conv_id", "turn_idx"]
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
     sorted_df = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
           .sortWithinPartitions(*order_cols)
     )
-    # Materialize before the two passes: range boundaries are sampled and
-    # AQE may re-plan per action, so an un-persisted plan can present
-    # DIFFERENT partitionings to the count job and the assignment job
-    # (observed: duplicate doc_ids at 50k rows). The cache pins one
-    # physical partitioning for both. The caller should unpersist after
-    # materializing the result (build_index does, right after the docs
-    # stage write).
-    sorted_df = sorted_df.persist()
+    pid = F.spark_partition_id()
+    mid = F.monotonically_increasing_id()
+    return (sorted_df
+            .withColumn("_pid", pid)
+            .withColumn("_ord", mid - F.shiftleft(pid.cast("long"), 33)))
 
-    counts = (
-        sorted_df.select(F.spark_partition_id().alias("pid"))
-                 .groupBy("pid").count().collect()
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
+
+def partition_offsets(staged: DataFrame) -> tuple[dict[int, int], int]:
+    """(exclusive prefix-sum of per-partition counts keyed by _pid, total).
+
+    _pid order == global (order_cols) order because range partitioning
+    assigns ascending key ranges to ascending partition ids."""
+    counts = staged.groupBy("_pid").count().collect()
+    by_pid = {int(r["_pid"]): int(r["count"]) for r in counts}
     offsets: dict[int, int] = {}
     running = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = running
-        running += by_pid[pid]
-    bc_offsets = spark.sparkContext.broadcast(offsets)
+    for p in sorted(by_pid):
+        offsets[p] = running
+        running += by_pid[p]
+    return offsets, running
 
-    out_schema = StructType(sorted_df.schema.fields + [StructField("doc_id", LongType(), False)])
 
-    def add_ids(batches):
-        pid = TaskContext.get().partitionId()
-        base = bc_offsets.value.get(pid, 0)
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
+def doc_id_expr(offsets: dict[int, int]) -> Column:
+    """doc_id = offsets[_pid] + _ord as a Catalyst expression (a chained
+    CASE over P partition ids — P is small, whole-stage codegen inlines it)."""
+    expr = None
+    for p, off in sorted(offsets.items()):
+        cond = F.col("_pid") == p
+        expr = F.when(cond, F.lit(off)) if expr is None else expr.when(cond, F.lit(off))
+    if expr is None:
+        expr = F.lit(0)
+    return (expr + F.col("_ord")).cast("long")
 
-    out = sorted_df.mapInPandas(add_ids, schema=out_schema)
-    # expose the persisted parent so callers can release it post-write
-    out._ys_persisted_parent = sorted_df  # type: ignore[attr-defined]
+
+def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Convenience one-shot (test/ad-hoc) path: returns df + doc_id.
+
+    Runs the staged scheme in-memory: one pass to stage (persisted),
+    metadata pass for offsets, then the doc_id expression. Production
+    builds go through build_index which persists the stage to Parquet
+    instead (resume checkpoint)."""
+    staged = with_partition_ordinals(df, order_cols, num_partitions).persist()
+    offsets, _ = partition_offsets(staged)
+    out = staged.withColumn("doc_id", doc_id_expr(offsets)).drop("_pid", "_ord")
+    out._ys_persisted_parent = staged  # type: ignore[attr-defined]
     return out

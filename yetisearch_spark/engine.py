@@ -1,0 +1,364 @@
+"""Engine facade — the reference's public API surface re-expressed on Spark.
+
+Mirrors ``YetiSearch`` (reference: src/YetiSearch.php:103-688) and the
+result-shaping half of ``SearchEngine`` (reference:
+src/Search/SearchEngine.php:94-272,714-829,1112-1307):
+
+  * SearchQuery dataclass (reference: src/Models/SearchQuery.php:8-311)
+  * filter operator set F1-F3 (reference: src/Storage/SqliteStorage.php:2674-2895)
+  * min_score filter F6, score normalization R5, dedup-by-route A7,
+    facets A1/A3, aggregations A4, stats A5, multi-index union J3,
+    highlights C11.
+
+Everything set-oriented is a Catalyst plan; only the final ≤k-row page
+is shaped driver-side (highlights), exactly like the reference shapes
+rows after the SQL returns.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .query import SearchIndex, parse_query
+
+
+# ---------------------------------------------------------------------------
+# SearchQuery + filters
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SearchQuery:
+    query: str = ""
+    limit: int = 20
+    offset: int = 0
+    filters: list[dict] = field(default_factory=list)   # {field, operator, value}
+    sort: dict[str, str] = field(default_factory=dict)  # field -> asc|desc
+    language: Optional[str] = None
+    fuzzy: bool = False
+    fuzziness: float = 0.8
+    highlight: bool = False
+    highlight_length: int = 150
+    facets: dict[str, dict] = field(default_factory=dict)
+    aggregations: dict[str, dict] = field(default_factory=dict)
+    unique_by_route: bool = False
+    min_score: float = 0.0
+    boost_fields: dict[str, float] = field(default_factory=dict)
+
+
+_FILTER_OPS = {"=", "!=", ">", "<", ">=", "<=", "like", "not like", "contains",
+               "=?", "in", "not in", "between", "is null", "is not null",
+               "exists"}
+
+
+def filter_condition(fld: str, op: str, value: Any) -> Column:
+    """One filter → Catalyst predicate (reference operator whitelist,
+    src/Storage/SqliteStorage.php:31-37,2674-2754)."""
+    c = F.col(fld)
+    op = op.lower()
+    if op == "=":
+        return c == F.lit(value)
+    if op == "!=":
+        return c != F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == "like":
+        return c.like(str(value))
+    if op == "not like":
+        return ~c.like(str(value))
+    if op == "contains":
+        return c.contains(str(value))
+    if op == "=?":  # eq-or-empty (reference :2706-2709)
+        return (c == F.lit(value)) | c.isNull() | (c == F.lit(""))
+    if op == "in":
+        return c.isin(list(value))
+    if op == "not in":
+        return ~c.isin(list(value))
+    if op == "between":
+        lo, hi = value
+        return c.between(lo, hi)
+    if op == "is null":
+        return c.isNull()
+    if op == "is not null":
+        return c.isNotNull()
+    if op == "exists":
+        return c.isNotNull()
+    raise ValueError(f"unsupported filter operator: {op!r}")
+
+
+def apply_filters(df: DataFrame, filters: list[dict]) -> DataFrame:
+    for f_ in filters or []:
+        df = df.where(filter_condition(f_["field"], f_.get("operator", "="),
+                                       f_.get("value")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Highlights (reference C11: src/Search/SearchEngine.php:973-1110)
+# ---------------------------------------------------------------------------
+
+def extract_snippet(text: str, terms: list[str], length: int = 150) -> str:
+    """Best window around the earliest term hit (score 1/(pos+1), plural
+    probe), word-boundary trim, '...' ellipses."""
+    lower = text.lower()
+    best_pos, best_score = 0, 0.0
+    for term in terms:
+        for probe in (term, term + "s"):
+            pos = lower.find(probe)
+            if pos >= 0:
+                score = 1.0 / (pos + 1)
+                if score > best_score:
+                    best_score, best_pos = score, pos
+    if best_score == 0.0 and len(text) <= length:
+        return text
+    start = max(0, best_pos - length // 3)
+    end = min(len(text), start + length)
+    snippet = text[start:end]
+    if start > 0:
+        sp = snippet.find(" ")
+        if 0 <= sp < len(snippet) - 1:
+            snippet = snippet[sp + 1:]
+        snippet = "..." + snippet
+    if end < len(text):
+        sp = snippet.rfind(" ")
+        if sp > 0:
+            snippet = snippet[:sp]
+        snippet = snippet + "..."
+    return snippet
+
+
+def highlight_terms(text: str, terms: list[str],
+                    tag: str = "<mark>", tag_close: str = "</mark>") -> str:
+    out = text
+    for term in sorted(set(terms), key=len, reverse=True):
+        if not term:
+            continue
+        pattern = re.compile(r"\b(" + re.escape(term) + r"s?)\b", re.IGNORECASE)
+        out = pattern.sub(tag + r"\1" + tag_close, out)
+    return out
+
+
+def _query_terms_for_highlight(query: str) -> list[str]:
+    clean = query.replace("''", "'")
+    clean = re.sub(r'["()]', " ", clean)
+    clean = re.sub(r"\b(OR|AND|NEAR|NOT)\b", " ", clean, flags=re.IGNORECASE)
+    clean = re.sub(r"\s+", " ", clean).lower()
+    toks = [t.strip().rstrip("*").rstrip(",") for t in clean.split(" ")]
+    toks = [t for t in toks if t and not t.isdigit()]
+    return sorted(set(toks), key=len, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class Engine:
+    """search/count/facets/aggregations/stats over one or more indexes."""
+
+    def __init__(self, spark: SparkSession, index_dirs: dict[str, str]):
+        self.spark = spark
+        self.indexes = {name: SearchIndex(spark, path)
+                        for name, path in index_dirs.items()}
+
+    def index(self, name: str) -> SearchIndex:
+        return self.indexes[name]
+
+    # -- core search ---------------------------------------------------------
+
+    def _matches_with_docs(self, idx: SearchIndex, q: SearchQuery) -> DataFrame:
+        node = parse_query(q.query)
+        scores = idx.match_scores(node)
+        docs = apply_filters(idx._docs, q.filters)
+        return docs.join(scores, "doc_id")
+
+    def search(self, index: str, q: SearchQuery | str) -> dict:
+        if isinstance(q, str):
+            q = SearchQuery(query=q)
+        t0 = time.time()
+        idx = self.indexes[index]
+        matched = self._matches_with_docs(idx, q)
+
+        # R5: normalize scores to 0-100 by the max within the result set
+        # (reference: src/Search/SearchEngine.php:719-725)
+        w_max = matched.agg(F.max("score")).collect()[0][0]
+        total = None
+        if q.min_score > 0:
+            matched = matched.where(F.col("score") >= q.min_score)  # F6
+        if w_max:
+            matched = matched.withColumn(
+                "score", F.round(F.col("score") / F.lit(float(w_max)) * 100.0, 1))
+
+        if q.unique_by_route and "route" in matched.columns:
+            matched = self._dedup_by_route(matched)
+
+        # sort: relevance default; column sorts via O2
+        if q.sort:
+            order = [F.col(fld).desc() if d.lower() == "desc" else F.col(fld).asc()
+                     for fld, d in q.sort.items()]
+            order.append(F.asc("doc_id"))
+        else:
+            order = [F.desc("score"), F.asc("doc_id")]
+
+        total = matched.count()
+        page = matched.orderBy(*order).limit(q.offset + q.limit).collect()
+        page = page[q.offset:]
+
+        results = []
+        hl_terms = _query_terms_for_highlight(q.query) if q.highlight else []
+        for r in page:
+            d = r.asDict(recursive=True)
+            d.pop("tokens", None)
+            item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
+                    if "conv_id" in d else str(d.get("doc_id")),
+                    "score": d.pop("score"), "document": d}
+            if q.highlight and "text" in d and d["text"]:
+                snippet = extract_snippet(d["text"], hl_terms, q.highlight_length)
+                item["highlights"] = {"text": highlight_terms(snippet, hl_terms)}
+            results.append(item)
+
+        out = {
+            "results": results,
+            "total": total,
+            "count": len(results),
+            "search_time": round(time.time() - t0, 4),
+        }
+        if q.facets:
+            out["facets"] = self.facets(index, q)
+        if q.aggregations:
+            out["aggregations"] = self.aggregations(index, q)
+        return out
+
+    def _dedup_by_route(self, matched: DataFrame) -> DataFrame:
+        """A7: roll up results by route — composite score = sum, the
+        representative row = argmax score (reference:
+        src/Search/SearchEngine.php:1112-1169)."""
+        no_route = matched.where(F.col("route").isNull() | (F.col("route") == ""))
+        routed = matched.where(F.col("route").isNotNull() & (F.col("route") != ""))
+        cols = [c for c in matched.columns if c not in ("route", "score")]
+        agg = (routed.groupBy("route")
+               .agg(F.sum("score").alias("score"),
+                    F.count(F.lit(1)).alias("chunk_count"),
+                    F.max_by(F.struct(*cols), F.struct(F.col("score"),
+                                                       (-F.col("doc_id")).alias("nd"))
+                             ).alias("best")))
+        rolled = agg.select("route", "score", "chunk_count", "best.*")
+        return rolled.unionByName(
+            no_route.withColumn("chunk_count", F.lit(1)), allowMissingColumns=True)
+
+    def count(self, index: str, q: SearchQuery | str) -> int:
+        if isinstance(q, str):
+            q = SearchQuery(query=q)
+        idx = self.indexes[index]
+        if not q.query.strip():
+            return apply_filters(idx._docs, q.filters).count()
+        return self._matches_with_docs(idx, q).count()
+
+    # -- facets / aggregations (A1-A5) ----------------------------------------
+
+    def facets(self, index: str, q: SearchQuery,
+               sample_limit: int = 1000) -> dict:
+        """A1: value counts of fields over the (sampled) match set
+        (reference samples the top-1000 hits: SearchEngine.php:1267-1269)."""
+        idx = self.indexes[index]
+        matched = self._matches_with_docs(idx, q)
+        sample = matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(sample_limit)
+        out = {}
+        for fld, opts in q.facets.items():
+            if fld == "distance":
+                continue  # geo distance facets handled by geo module
+            ranges = opts.get("ranges")
+            if ranges:
+                # A3: range facet {to}/{from,to}/{from}
+                expr = None
+                labels = []
+                col = F.col(fld)
+                for r in ranges:
+                    lo, hi = r.get("from"), r.get("to")
+                    label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+                    labels.append(label)
+                    cond = F.lit(True)
+                    if lo is not None:
+                        cond = cond & (col >= lo)
+                    if hi is not None:
+                        cond = cond & (col < hi)
+                    expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+                rows = (sample.withColumn("__bucket", expr)
+                        .where(F.col("__bucket").isNotNull())
+                        .groupBy("__bucket").count().collect())
+                counts = {r["__bucket"]: r["count"] for r in rows}
+                out[fld] = [{"value": lbl, "count": counts.get(lbl, 0)}
+                            for lbl in labels if counts.get(lbl, 0) > 0]
+            else:
+                min_count = opts.get("min_count", 1)
+                limit = opts.get("limit", 10)
+                rows = (sample.where(F.col(fld).isNotNull())
+                        .groupBy(fld).count()
+                        .where(F.col("count") >= min_count)
+                        .orderBy(F.desc("count"), F.asc(fld))
+                        .limit(limit).collect())
+                out[fld] = [{"value": r[fld], "count": r["count"]} for r in rows]
+        return out
+
+    def aggregations(self, index: str, q: SearchQuery) -> dict:
+        """A4: avg/min/max/sum/count over match-set columns — documented in
+        the reference but stubbed there (SearchEngine.php:1309-1314);
+        implemented here for surface parity."""
+        idx = self.indexes[index]
+        matched = self._matches_with_docs(idx, q)
+        out = {}
+        fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+               "count": F.count}
+        for name, spec in q.aggregations.items():
+            fld, kind = spec["field"], spec.get("type", "avg")
+            row = matched.agg(fns[kind](fld).alias("v")).collect()[0]
+            out[name] = {"value": row["v"]}
+        return out
+
+    # -- stats / catalog (A5, S11) --------------------------------------------
+
+    def get_stats(self, index: str) -> dict:
+        idx = self.indexes[index]
+        by_role = {r[0]: r[1] for r in
+                   idx._docs.groupBy("role").count().collect()}
+        return {
+            "document_count": idx.n_docs,
+            "avgdl": idx.avgdl,
+            "vocabulary_size": idx._term_stats.count(),
+            "by_role": by_role,
+            "index_dir": idx.index_dir,
+        }
+
+    def list_indices(self) -> list[str]:
+        return sorted(self.indexes)
+
+    # -- multi-index (J3) ------------------------------------------------------
+
+    def search_multiple(self, indices: list[str], q: SearchQuery | str,
+                        k: int | None = None) -> DataFrame:
+        """Search several indexes, tag _index, merge by score
+        (reference: src/Storage/SqliteStorage.php:1574-1628)."""
+        if isinstance(q, str):
+            q = SearchQuery(query=q)
+        parts = []
+        for name in indices:
+            idx = self.indexes[name]
+            node = parse_query(q.query)
+            scores = idx.match_scores(node)
+            docs = apply_filters(idx._docs, q.filters)
+            parts.append(docs.join(scores, "doc_id")
+                         .withColumn("_index", F.lit(name)))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p, allowMissingColumns=True)
+        return (merged.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k or q.limit))

@@ -114,6 +114,76 @@ def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray,
     return head + tail
 
 
+def encode_posting_group(doc_ids: np.ndarray, tfs: np.ndarray,
+                         doc_lens: np.ndarray,
+                         pos_offsets: np.ndarray, pos_values: np.ndarray,
+                         block_size: int, avgdl: float):
+    """Encode one (term, salt) posting group into block rows, fully
+    vectorized (no per-doc Python).
+
+    pos_offsets/pos_values are Arrow ListArray components for the group's
+    positions column: doc i's positions are
+    pos_values[pos_offsets[i]:pos_offsets[i+1]].
+
+    → list of (block_id, min_doc, max_doc, n_docs, block_max_norm, data).
+    """
+    n = doc_ids.size
+    order = np.argsort(doc_ids, kind="stable")
+    if not (order == np.arange(n)).all():
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        doc_lens = doc_lens[order]
+        # re-gather positions in sorted doc order
+        counts = np.diff(pos_offsets)
+        starts = pos_offsets[:-1]
+        idx = np.concatenate([np.arange(starts[i], starts[i] + counts[i])
+                              for i in order]) if n else np.empty(0, np.int64)
+        pos_values = pos_values[idx]
+        counts = counts[order]
+        pos_offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    counts = np.diff(pos_offsets)  # per-doc n_pos (== tf)
+    # positions → per-doc deltas in one pass: global diff, then reset each
+    # doc's first slot back to its absolute value
+    if pos_values.size:
+        pv = pos_values.astype(np.int64)
+        deltas = np.empty_like(pv)
+        deltas[0] = pv[0]
+        np.subtract(pv[1:], pv[:-1], out=deltas[1:])
+        starts = pos_offsets[:-1][counts > 0]
+        deltas[starts] = pv[starts]
+    else:
+        deltas = pos_values.astype(np.int64)
+
+    # interleave [n_pos, deltas...] per doc into one stream
+    stream_len = n + int(pos_values.size)
+    stream = np.empty(stream_len, dtype=np.uint64)
+    count_slots = pos_offsets[:-1] + np.arange(n)  # where each n_pos goes
+    stream[count_slots] = counts.astype(np.uint64)
+    mask = np.ones(stream_len, dtype=bool)
+    mask[count_slots] = False
+    stream[mask] = deltas.astype(np.uint64)
+
+    rows = []
+    norms = bm25_norm(tfs, doc_lens, avgdl)
+    for b0 in range(0, n, block_size):
+        b1 = min(b0 + block_size, n)
+        ids = doc_ids[b0:b1]
+        id_deltas = np.empty(b1 - b0, dtype=np.uint64)
+        id_deltas[0] = ids[0]
+        if b1 - b0 > 1:
+            id_deltas[1:] = np.diff(ids.astype(np.uint64))
+        head = encode_varints(np.concatenate((
+            np.array([b1 - b0], dtype=np.uint64), id_deltas,
+            tfs[b0:b1].astype(np.uint64), doc_lens[b0:b1].astype(np.uint64))))
+        s0 = int(pos_offsets[b0]) + b0
+        s1 = int(pos_offsets[b1]) + b1
+        tail = encode_varints(stream[s0:s1])
+        rows.append((b0 // block_size, int(ids[0]), int(ids[-1]), b1 - b0,
+                     float(norms[b0:b1].max()), head + tail))
+    return rows
+
+
 def decode_posting_block(data: bytes, with_positions: bool = False):
     """→ (doc_ids, tfs, doc_lens[, positions list]) from one encoded block."""
     vals = decode_varints(data)

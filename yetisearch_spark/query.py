@@ -36,7 +36,7 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
 
 from .analyzer import analyze
 from .postings import BM25_B, BM25_K1, decode_posting_block
-from .build import load_manifest
+from .build import load_docs, load_manifest
 
 import math
 import os
@@ -393,7 +393,7 @@ class SearchIndex:
         self.avgdl = float(gs["avgdl"] or 1.0)
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        self._docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        self._docs = load_docs(spark, index_dir, self.manifest)
         self._bucket_cache: dict[str, int] = {}
 
     # -- postings access ----------------------------------------------------
