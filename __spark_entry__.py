@@ -247,8 +247,16 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         "text",
         F.col("lang").alias("tool"),
         F.current_timestamp().alias("ts"))
-    build_index(spark, transcripts, out, num_buckets=8, input_path=sf_dir)
-    idx = SearchIndex(spark, out)
+    try:
+        build_index(spark, transcripts, out, num_buckets=8, input_path=sf_dir)
+        idx = SearchIndex(spark, out)
+    except Exception:
+        # stale cache from an older index layout → rebuild fresh
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, transcripts, out, num_buckets=8,
+                    input_path=sf_dir, resume=False)
+        idx = SearchIndex(spark, out)
     _ENGINE_CACHE[key] = idx
     return idx
 

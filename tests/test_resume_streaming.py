@@ -1,0 +1,88 @@
+"""Resume-from-checkpoint (north_rule) + incremental segments/compaction."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from yetisearch_spark.corpus import generate_transcripts
+from yetisearch_spark.build import build_index, load_manifest
+from yetisearch_spark.query import SearchIndex
+
+
+def test_resume_skips_completed_and_matches_full_build(spark, tmp_path):
+    pdf = generate_transcripts(600, seed=33)
+    df = spark.createDataFrame(pdf)
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, df, full_dir, num_buckets=4)
+
+    # simulate a crash after the stats stage: copy artifacts, drop the
+    # 'postings' stage from the manifest and delete its output
+    resumed_dir = str(tmp_path / "resumed")
+    shutil.copytree(full_dir, resumed_dir)
+    shutil.rmtree(os.path.join(resumed_dir, "postings"))
+    m = load_manifest(resumed_dir)
+    del m["stages"]["postings"]
+    with open(os.path.join(resumed_dir, "manifest.json"), "w") as f:
+        json.dump(m, f)
+
+    m2 = build_index(spark, df, resumed_dir, num_buckets=4)
+    assert set(m2["stages"]) == {"docs", "stats", "postings", "term_stats"}
+    # resumed docs stage must NOT have rerun (same committed wall time)
+    assert m2["stages"]["docs"]["wall_s"] == \
+        load_manifest(full_dir)["stages"]["docs"]["wall_s"]
+
+    # identical query results
+    q = "search AND data"
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         SearchIndex(spark, full_dir).search(q, k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         SearchIndex(spark, resumed_dir).search(q, k=10).collect()]
+    assert a == b
+
+    # per-bucket counters present (lineage requirement)
+    pb = m2["stages"]["postings"]["counters"]["per_bucket"]
+    assert pb and all({"blocks", "postings", "bytes"} <= set(v) for v in pb.values())
+
+
+def test_segments_and_compaction(spark, tmp_path):
+    from yetisearch_spark.streaming import (SegmentedIndex, append_segment,
+                                            compact, delete_docs,
+                                            high_water_doc_id, list_segments)
+
+    base_pdf = generate_transcripts(400, seed=44)
+    extra_pdf = generate_transcripts(200, seed=45)
+    extra_pdf["conv_id"] = extra_pdf["conv_id"].str.replace("conv_", "convX_")
+
+    idx_dir = str(tmp_path / "seg_idx")
+    build_index(spark, spark.createDataFrame(base_pdf), idx_dir, num_buckets=4)
+    assert high_water_doc_id(idx_dir) == 400
+
+    append_segment(spark, idx_dir, spark.createDataFrame(extra_pdf), epoch=0)
+    assert list_segments(idx_dir) == [0]
+    assert high_water_doc_id(idx_dir) == 600
+
+    seg = SegmentedIndex(spark, idx_dir)
+    assert seg.n_docs == 600
+    # segment doc_ids start above the base index
+    seg_docs = seg.docs()
+    assert seg_docs.count() == 600
+    assert seg_docs.agg(F.max("doc_id")).collect()[0][0] == 599
+
+    hits = seg.search("search", k=10).collect()
+    assert hits
+
+    # tombstone a hit, verify it disappears from the view
+    victim = hits[0]["doc_id"]
+    delete_docs(spark, idx_dir, [victim])
+    seg2 = SegmentedIndex(spark, idx_dir)
+    assert all(r["doc_id"] != victim for r in seg2.search("search", k=10).collect())
+
+    # compaction produces a clean single index without the victim
+    compact_dir = str(tmp_path / "compacted")
+    compact(spark, idx_dir, compact_dir)
+    cidx = SearchIndex(spark, compact_dir)
+    assert cidx.n_docs == 599

@@ -67,14 +67,17 @@ _INVIS_TABLE = {cp: None for cp in [0x200B, 0x200C, 0x200D, 0xFEFF,
 _SMART_TABLE = {0x201C: '"', 0x201D: '"', 0x2018: "'", 0x2019: "'",
                 0x2026: "..."}
 
+# One fused table: every char in the reference's remove_invisible list is
+# already mapped to ' ' by its normalize_whitespace list (applied first
+# there), so WS∪SMART is behavior-identical to the reference's
+# translate→remove→translate sequence — one pass instead of three.
+_NORM_TABLE = {**_WS_TABLE, **_SMART_TABLE}
+
 _COLLAPSE_RE = re.compile(r"\s+")
 
 
 def normalize(text: str) -> str:
-    text = text.translate(_WS_TABLE)
-    text = _COLLAPSE_RE.sub(" ", text)
-    text = text.translate(_INVIS_TABLE)
-    text = text.translate(_SMART_TABLE)
+    text = text.translate(_NORM_TABLE)
     text = _COLLAPSE_RE.sub(" ", text)
     return text.strip()
 
@@ -86,32 +89,41 @@ def normalize(text: str) -> str:
 _HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _HTML_TAG_RE = re.compile(r"<[^>]*>")
 
-# Sequential case-insensitive substring replacements (str_ireplace order)
-_CONTRACTIONS = [
-    (re.compile(re.escape(pat), re.IGNORECASE), repl)
-    for pat, repl in [
-        ("can't", "cannot"),
-        ("won't", "will not"),
-        ("n't", " not"),
-        ("'re", " are"),
-        ("'ve", " have"),
-        ("'ll", " will"),
-        ("'d", " would"),
-        ("'m", " am"),
-    ]
-]
+# Contractions fused into ONE ordered-alternation regex. Alternation picks
+# the first alternative at the leftmost position, matching the reference's
+# sequential str_ireplace order (can't before the generic n't).
+_CONTRACTION_MAP = {
+    "can't": "cannot",
+    "won't": "will not",
+    "n't": " not",
+    "'re": " are",
+    "'ve": " have",
+    "'ll": " will",
+    "'d": " would",
+    "'m": " am",
+}
+_CONTRACTION_RE = re.compile(
+    "|".join(re.escape(p) for p in _CONTRACTION_MAP), re.IGNORECASE)
 
-# Word-bounded 's contractions (possessives are NOT expanded)
-_S_CONTRACTIONS = [
-    (re.compile(r"\b%s's\b" % w, re.IGNORECASE), "%s is" % w)
-    for w in ["it", "that", "what", "there", "here", "he", "she",
-              "who", "how", "where", "when", "why"]
-]
+# Word-bounded 's contractions (possessives are NOT expanded); the
+# reference's replacement strings are lowercase regardless of input case.
+_S_WORDS = ["it", "that", "what", "there", "here", "he", "she",
+            "who", "how", "where", "when", "why"]
+_S_CONTRACTION_RE = re.compile(
+    r"\b(" + "|".join(_S_WORDS) + r")'s\b", re.IGNORECASE)
+
+
+def _contraction_repl(m: re.Match) -> str:
+    return _CONTRACTION_MAP[m.group(0).lower()]
+
+
+def _s_contraction_repl(m: re.Match) -> str:
+    return m.group(1).lower() + " is"
+
 
 # strip punctuation: keep letters/digits/whitespace/'/- ; \w also matches _,
-# so underscores are converted to spaces first (PHP uses \p{L}\p{N}).
-_UNDERSCORE_RE = re.compile(r"_")
-_PUNCT_RE = re.compile(r"[^\w\s'\-]", re.UNICODE)
+# so underscores are folded into the same strip pass (PHP uses \p{L}\p{N}).
+_PUNCT_RE = re.compile(r"[^\w\s'\-]|_", re.UNICODE)
 _SPLIT_RE = re.compile(r"\s+")
 
 # Canonical guard (ours, applied symmetrically): a token must contain at
@@ -124,11 +136,8 @@ _HAS_ALNUM_RE = re.compile(r"[^\W_]", re.UNICODE)
 def tokenize(text: str) -> List[str]:
     text = _HTML_COMMENT_RE.sub(" ", text)
     text = _HTML_TAG_RE.sub(" ", text)
-    for pat, repl in _CONTRACTIONS:
-        text = pat.sub(repl, text)
-    for pat, repl in _S_CONTRACTIONS:
-        text = pat.sub(repl, text)
-    text = _UNDERSCORE_RE.sub(" ", text)
+    text = _CONTRACTION_RE.sub(_contraction_repl, text)
+    text = _S_CONTRACTION_RE.sub(_s_contraction_repl, text)
     text = _PUNCT_RE.sub(" ", text)
     text = text.lower()
     return [t for t in _SPLIT_RE.split(text) if t]

@@ -4,24 +4,29 @@ src/Storage/SqliteStorage.php:487-666 — re-expressed as staged Spark jobs).
 
 Index layout under ``out_dir`` (all Parquet):
 
-  docs/          doc_id, conv_id, turn_idx, role, tool, ts, text, tokens, doc_len
-  raw_postings/  bucket=*/ (doc_id, term, tf, positions)      [checkpoint]
-  term_stats/    term, df, cf, bucket
+  docs/          staged sorted transcripts + tokens + doc_len (+_pid,_ord)
   global_stats/  n_docs, avgdl, total_tokens
   postings/      bucket=*/ (term, salt, block_id, min_doc, max_doc,
-                            n_docs, block_max_norm, data binary)
+                            n_docs, block_max_norm, data binary, tf_sum)
+  term_stats/    bucket, term, df, cf
   manifest.json  lineage + per-stage status/counters (resume contract)
 
-Scale design:
-  * bucket = xxhash64(term) % num_buckets → query-time partition pruning.
-  * head terms (df ≥ salt_threshold) are salted into num_salts sub-lists
-    keyed by xxhash64(doc_id) so no single reducer owns a whole stop-ish
-    term's posting list (north_rule skew requirement).
-  * encode is mapInPandas over repartition(term, salt) — group-boundary
-    carry between Arrow batches, no per-group Python round trips.
-  * every stage commits to the manifest; a resumed build skips completed
-    stages (and reloads the persisted doc_id mapping, making doc_ids
-    stable across restarts regardless of shuffle sampling).
+Scale design (profiled on 10M-turn builds — see git history):
+  * MAP-SIDE RUN CONSTRUCTION (Lucene-flush shape): every docs split
+    builds its own ≤block_size posting blocks locally in the final binary
+    format; only block-level rows (≈ vocab × splits) are shuffled. The
+    previous design shuffled every posting row (54M rows at 10M turns)
+    and spent 30s/task in JVM sort+Arrow against a 2s/task Python kernel.
+  * bucket = xxhash64(term) % num_buckets → query-time partition pruning;
+    final layout is one sorted file per bucket (row-group min/max prune
+    term lookups and prefix ranges).
+  * skew: head-term bytes spread naturally across per-split runs
+    (salt = split_id % num_salts tags them); reducers only re-sort and
+    write block rows, so no reducer ever holds a whole head-term list
+    in decoded form.
+  * every stage commits counters+lineage to the manifest; a resumed build
+    skips completed stages, and doc_ids are stable across restarts because
+    they derive from the persisted docs stage (docids.py).
 """
 
 from __future__ import annotations
@@ -77,6 +82,12 @@ def _stage_done(manifest: dict, stage: str) -> bool:
     return manifest["stages"].get(stage, {}).get("status") == "done"
 
 
+def parquet_row_count(path: str) -> int:
+    """Row count from parquet footers only (no Spark job, no data scan)."""
+    import pyarrow.dataset as ds
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 def load_docs(spark: SparkSession, out_dir: str,
               manifest: dict | None = None) -> DataFrame:
     """Docs table with the doc_id column materialized as a Catalyst
@@ -105,109 +116,98 @@ _ENCODED_SCHEMA = StructType([
 ])
 
 
-def _encode_partition_factory(avgdl: float, block_size: int):
-    """mapInArrow fn: rows sorted by (term, salt, doc_id) within the
-    partition → encoded block rows. Fully vectorized: positions arrive as
-    an Arrow ListArray whose offsets/values feed encode_posting_group
-    directly (no per-doc Python — measured ~50µs/posting with the naive
-    pandas kernel, dominated by per-row list conversions). Carries the
-    open (term, salt) group across Arrow batch boundaries."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+def _runs_kernel_factory(avgdl: float, block_size: int, num_salts: int):
+    """mapInArrow over docs splits → per-split posting runs in FINAL block
+    format (Lucene-flush shape).
 
-    from .postings import encode_posting_group
+    Each split (a contiguous doc_id range, because docs files are written
+    in sorted order) aggregates term → (doc_ids, tfs, doc_lens, per-doc
+    position varint records) in one Python pass per batch, then emits
+    ≤block_size-doc block rows via the vectorized group encoder. Only
+    these block rows (≈ vocab × splits) are ever shuffled.
+
+    salt = split_id % num_salts tags runs so a head term's blocks carry a
+    distributed key without needing any df statistics; blocks stay
+    doc_id-sorted within (term, salt) because splits are doc-ordered.
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    from .postings import encode_posting_group_blobs
+    from .udfs import _venc
 
     out_schema = pa.schema([
-        ("bucket", pa.int32()), ("term", pa.string()), ("salt", pa.int32()),
+        ("term", pa.string()), ("salt", pa.int32()),
         ("block_id", pa.int32()), ("min_doc", pa.int64()),
         ("max_doc", pa.int64()), ("n_docs", pa.int32()),
         ("block_max_norm", pa.float64()), ("data", pa.binary()),
+        ("tf_sum", pa.int64()),
     ])
 
-    def to_numpy_cols(batch):
-        term = batch.column("term").to_numpy(zero_copy_only=False)
-        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
-        salt = batch.column("salt").to_numpy(zero_copy_only=False)
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        tf = batch.column("tf").to_numpy(zero_copy_only=False)
-        doc_len = batch.column("doc_len").to_numpy(zero_copy_only=False)
-        plist = batch.column("positions")
-        lengths = pc.list_value_length(plist).to_numpy(zero_copy_only=False)
-        values = pc.list_flatten(plist).to_numpy(zero_copy_only=False)
-        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
-        return dict(term=term, bucket=bucket, salt=salt, doc_id=doc_id,
-                    tf=tf, doc_len=doc_len, offsets=offsets, values=values)
-
-    def concat_cols(a, b):
-        out = {k: np.concatenate((a[k], b[k]))
-               for k in ("term", "bucket", "salt", "doc_id", "tf", "doc_len",
-                         "values")}
-        out["offsets"] = np.concatenate(
-            (a["offsets"], b["offsets"][1:] + a["offsets"][-1]))
-        return out
-
-    def slice_cols(c, lo, hi):
-        out = {k: c[k][lo:hi]
-               for k in ("term", "bucket", "salt", "doc_id", "tf", "doc_len")}
-        vlo, vhi = int(c["offsets"][lo]), int(c["offsets"][hi])
-        out["values"] = c["values"][vlo:vhi]
-        out["offsets"] = c["offsets"][lo:hi + 1] - vlo
-        return out
-
-    def encode_groups(c, boundaries):
-        """boundaries: group start indices incl. 0 and end."""
-        res = {k: [] for k in ("bucket", "term", "salt", "block_id",
-                               "min_doc", "max_doc", "n_docs",
-                               "block_max_norm", "data")}
-        for gi in range(len(boundaries) - 1):
-            lo, hi = boundaries[gi], boundaries[gi + 1]
-            g = slice_cols(c, lo, hi)
-            rows = encode_posting_group(
-                g["doc_id"].astype(np.int64), g["tf"].astype(np.int64),
-                g["doc_len"].astype(np.int64), g["offsets"], g["values"],
-                block_size, avgdl)
-            for (bid, mind, maxd, nd, bmax, data) in rows:
-                res["bucket"].append(int(c["bucket"][lo]))
-                res["term"].append(c["term"][lo])
-                res["salt"].append(int(c["salt"][lo]))
-                res["block_id"].append(bid)
-                res["min_doc"].append(mind)
-                res["max_doc"].append(maxd)
-                res["n_docs"].append(nd)
-                res["block_max_norm"].append(bmax)
-                res["data"].append(data)
-        if not res["term"]:
-            return None
-        return pa.RecordBatch.from_pydict(
-            {k: pa.array(v, type=out_schema.field(k).type)
-             for k, v in res.items()}, schema=out_schema)
-
-    def encode_partition(batches):
-        carry = None
+    def runs_kernel(batches):
+        ctx = TaskContext.get()
+        salt = (ctx.partitionId() if ctx is not None else 0) % num_salts
+        batch_ord = 0
         for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            c = to_numpy_cols(batch)
-            if carry is not None:
-                c = concat_cols(carry, c)
-                carry = None
-            term, salt = c["term"], c["salt"]
-            change = np.flatnonzero(
-                (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])) + 1
-            # last group may continue in the next batch → carry it
-            last_start = int(change[-1]) if change.size else 0
-            carry = slice_cols(c, last_start, len(term))
-            boundaries = [0] + change[:-1].tolist() + [last_start] \
-                if change.size else [0, 0]
-            rb = encode_groups(c, boundaries)
-            if rb is not None:
-                yield rb
-        if carry is not None and carry["term"].size:
-            rb = encode_groups(carry, [0, carry["term"].size])
-            if rb is not None:
-                yield rb
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            dls = batch.column("doc_len").to_numpy(zero_copy_only=False)
+            toks = batch.column("tokens").to_pylist()
+            agg: dict = {}
+            for i, tlist in enumerate(toks):
+                if not tlist:
+                    continue
+                seen: dict = {}
+                for pos, t in enumerate(tlist):
+                    ps = seen.get(t)
+                    if ps is None:
+                        seen[t] = [pos]
+                    else:
+                        ps.append(pos)
+                d = int(doc_ids[i])
+                dl = int(dls[i])
+                for t, ps in seen.items():
+                    ent = agg.get(t)
+                    if ent is None:
+                        ent = agg[t] = ([], [], [], bytearray(), [])
+                    ids_l, tfs_l, dls_l, blob, lens_l = ent
+                    ids_l.append(d)
+                    tfs_l.append(len(ps))
+                    dls_l.append(dl)
+                    blen0 = len(blob)
+                    _venc((len(ps), ps[0]), blob)
+                    if len(ps) > 1:
+                        _venc([b - a for a, b in zip(ps, ps[1:])], blob)
+                    lens_l.append(len(blob) - blen0)
 
-    return encode_partition
+            cols = {k: [] for k in ("term", "salt", "block_id", "min_doc",
+                                    "max_doc", "n_docs", "block_max_norm",
+                                    "data", "tf_sum")}
+            for t, (ids_l, tfs_l, dls_l, blob, lens_l) in agg.items():
+                ids = np.asarray(ids_l, dtype=np.int64)
+                tfs = np.asarray(tfs_l, dtype=np.int64)
+                dlens = np.asarray(dls_l, dtype=np.int64)
+                offs = np.concatenate(([0], np.cumsum(lens_l))).astype(np.int64)
+                vals = np.frombuffer(bytes(blob), dtype=np.uint8)
+                rows = encode_posting_group_blobs(ids, tfs, dlens, offs, vals,
+                                                  block_size, avgdl)
+                for k, (bid, mind, maxd, nd, bmax, data) in enumerate(rows):
+                    b0 = k * block_size
+                    cols["term"].append(t)
+                    cols["salt"].append(salt)
+                    cols["block_id"].append(batch_ord * 4096 + bid)
+                    cols["min_doc"].append(mind)
+                    cols["max_doc"].append(maxd)
+                    cols["n_docs"].append(nd)
+                    cols["block_max_norm"].append(bmax)
+                    cols["data"].append(data)
+                    cols["tf_sum"].append(int(tfs[b0:b0 + nd].sum()))
+            if cols["term"]:
+                yield pa.RecordBatch.from_pydict(
+                    {k: pa.array(v, type=out_schema.field(k).type)
+                     for k, v in cols.items()}, schema=out_schema)
+            batch_ord += 1
+
+    return runs_kernel
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +239,6 @@ def build_index(
         shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     docs_path = os.path.join(out_dir, "docs")
-    raw_path = os.path.join(out_dir, "raw_postings")
     ts_path = os.path.join(out_dir, "term_stats")
     gs_path = os.path.join(out_dir, "global_stats")
     post_path = os.path.join(out_dir, "postings")
@@ -265,43 +264,10 @@ def build_index(
 
     docs_df = load_docs(spark, out_dir, manifest)
 
-    # -- stage 2: raw postings (per-row term aggregation, zero shuffle) -----
-    if not _stage_done(manifest, "raw_postings"):
-        t0 = time.time()
-        postings_udf = make_postings_udf()
-        raw = (
-            docs_df.select("doc_id", "doc_len",
-                           F.explode(postings_udf("tokens")).alias("p"))
-            .select(
-                F.pmod(F.xxhash64(F.col("p.term")), F.lit(num_buckets))
-                 .cast("int").alias("bucket"),
-                F.col("p.term").alias("term"),
-                "doc_id",
-                F.col("p.tf").alias("tf"),
-                F.col("p.positions").alias("positions"),
-                "doc_len",
-            )
-        )
-        # plain files (bucket stays a column): partitionBy here would fan out
-        # tasks×buckets small files and every downstream stage pays to open
-        # them (measured 11× slowdown at 32 cores). The final postings table
-        # is the one that needs physical bucket partitioning for query-time
-        # pruning.
-        raw.write.mode("overwrite").parquet(raw_path)
-        n_post = spark.read.parquet(raw_path).count()
-        _commit_stage(out_dir, manifest, "raw_postings",
-                      {"postings": n_post}, time.time() - t0)
-
-    raw_df = spark.read.parquet(raw_path)
-
-    # -- stage 3: statistics -------------------------------------------------
+    # -- stage 2: global stats (needs only docs; avgdl feeds the
+    # map-side block_max computation) ---------------------------------------
     if not _stage_done(manifest, "stats"):
         t0 = time.time()
-        term_stats = (
-            raw_df.groupBy("bucket", "term")
-                  .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        )
-        term_stats.write.mode("overwrite").parquet(ts_path)
         gs = docs_df.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
@@ -310,42 +276,52 @@ def build_index(
         gs.write.mode("overwrite").parquet(gs_path)
         row = spark.read.parquet(gs_path).collect()[0]
         _commit_stage(out_dir, manifest, "stats",
-                      {"n_docs": row["n_docs"], "avgdl": float(row["avgdl"] or 0.0),
-                       "vocab": spark.read.parquet(ts_path).count()},
+                      {"n_docs": int(row["n_docs"]),
+                       "avgdl": float(row["avgdl"] or 0.0)},
                       time.time() - t0)
 
     gs_row = spark.read.parquet(gs_path).collect()[0]
     avgdl = float(gs_row["avgdl"] or 1.0)
 
-    # -- stage 4: encoded postings (salted, blocked, varint) ----------------
+    # -- stage 3: posting runs (map-side block construction) -----------------
+    # Lucene-flush shape: each docs split builds its own ≤block_size posting
+    # blocks locally in final binary format; only block-level rows (≈ vocab ×
+    # splits, thousands) ever cross the shuffle. This replaced a 54M-row
+    # repartition+sort+Arrow pipeline whose JVM side measured 30s/task
+    # against a 2s/task Python kernel. Skew: salt = split_id % num_salts
+    # spreads every head term's runs across reducers with no df statistics
+    # needed (runs stay doc_id-sorted within each salt).
     if not _stage_done(manifest, "postings"):
         t0 = time.time()
-        heavy = (
-            spark.read.parquet(ts_path)
-                 .where(F.col("df") >= salt_threshold)
-                 .select("term", F.lit(num_salts).alias("n_salts"))
-        )
-        salted = (
-            raw_df.join(F.broadcast(heavy), "term", "left")
-                  .withColumn("salt",
-                              F.when(F.col("n_salts").isNull(), F.lit(0))
-                               .otherwise(F.pmod(F.xxhash64("doc_id"),
-                                                 F.col("n_salts")).cast("int")))
-                  .select("bucket", "term", "salt", "doc_id", "tf",
-                          "positions", "doc_len")
-        )
-        encoded = (
-            salted.repartition(shuffle_partitions, "term", "salt")
-                  .sortWithinPartitions("term", "salt", "doc_id")
-                  .mapInArrow(_encode_partition_factory(avgdl, block_size),
-                              schema=_ENCODED_SCHEMA)
-        )
-        # second (cheap — compressed blocks) shuffle: one file per bucket,
-        # terms sorted within, so query-time term predicates prune on
-        # parquet row-group min/max stats instead of opening shards
-        (encoded.repartition(num_buckets, "bucket")
-                .sortWithinPartitions("term", "salt", "block_id")
-                .write.mode("overwrite").partitionBy("bucket").parquet(post_path))
+        prev_batch = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # size file splits to the parallelism target: the default 128MB
+        # maxPartitionBytes capped this stage at ~6 tasks for a 750MB docs
+        # table regardless of cores (splits stay contiguous doc_id ranges,
+        # which the run encoder requires)
+        docs_bytes = sum(
+            os.path.getsize(os.path.join(docs_path, f))
+            for f in os.listdir(docs_path) if f.endswith(".parquet"))
+        split_bytes = max(8 * 1024 * 1024,
+                          docs_bytes // (shuffle_partitions * 2) + 1)
+        prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                    "134217728")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+        docs_for_runs = load_docs(spark, out_dir, manifest)
+        runs_schema = StructType(
+            [f for f in _ENCODED_SCHEMA.fields if f.name != "bucket"]
+        ).add(StructField("tf_sum", LongType(), False))
+        runs = (docs_for_runs.select("doc_id", "doc_len", "tokens")
+                .mapInArrow(_runs_kernel_factory(avgdl, block_size, num_salts),
+                            schema=runs_schema)
+                # bucket via the SAME Catalyst xxhash64 the query side uses
+                .withColumn("bucket",
+                            F.pmod(F.xxhash64("term"),
+                                   F.lit(num_buckets)).cast("int")))
+        (runs.repartition(num_buckets, "bucket")
+             .sortWithinPartitions("term", "salt", "min_doc")
+             .write.mode("overwrite").partitionBy("bucket").parquet(post_path))
         per_bucket = (
             spark.read.parquet(post_path)
                  .groupBy("bucket")
@@ -359,5 +335,18 @@ def build_index(
                           "blocks": r["blocks"], "postings": int(r["postings"]),
                           "bytes": int(r["bytes"])} for r in per_bucket}},
                       time.time() - t0)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+    # -- stage 4: term stats (free aggregate of the posting runs) ------------
+    if not _stage_done(manifest, "term_stats"):
+        t0 = time.time()
+        post_df = spark.read.parquet(post_path)
+        term_stats = (post_df.groupBy("bucket", "term")
+                      .agg(F.sum("n_docs").cast("long").alias("df"),
+                           F.sum("tf_sum").cast("long").alias("cf")))
+        term_stats.write.mode("overwrite").parquet(ts_path)
+        _commit_stage(out_dir, manifest, "term_stats",
+                      {"vocab": parquet_row_count(ts_path)}, time.time() - t0)
 
     return load_manifest(out_dir)

@@ -136,24 +136,40 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
     })
 
 
-def write_corpus_parquet(path: str, n_turns: int, seed: int = 42,
-                         rows_per_file: int = 250_000) -> int:
-    """Write the corpus as (possibly multiple) parquet files; returns rows."""
+def _write_part(args) -> int:
+    path, part, chunk, seed = args
+    import os
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    pdf = generate_transcripts(chunk, seed=seed + part)
+    # keep conv_ids globally unique across files
+    pdf["conv_id"] = pdf["conv_id"].str.replace(
+        "conv_", f"conv{part:03d}_", regex=False)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"),
+                   row_group_size=25_000)
+    return len(pdf)
+
+
+def write_corpus_parquet(path: str, n_turns: int, seed: int = 42,
+                         rows_per_file: int = 250_000,
+                         workers: int | None = None) -> int:
+    """Write the corpus as parquet files (parts generated in parallel)."""
+    import multiprocessing as mp
     import os
 
     os.makedirs(path, exist_ok=True)
+    jobs = []
     written = 0
     part = 0
     while written < n_turns:
         chunk = min(rows_per_file, n_turns - written)
-        pdf = generate_transcripts(chunk, seed=seed + part)
-        # keep conv_ids globally unique across files
-        pdf["conv_id"] = pdf["conv_id"].str.replace("conv_", f"conv{part:03d}_", regex=False)
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"),
-                       row_group_size=25_000)
-        written += len(pdf)
+        jobs.append((path, part, chunk, seed))
+        written += chunk
         part += 1
-    return written
+    workers = workers or min(len(jobs), os.cpu_count() or 4)
+    if workers <= 1:
+        return sum(_write_part(j) for j in jobs)
+    with mp.Pool(workers) as pool:
+        return sum(pool.map(_write_part, jobs))

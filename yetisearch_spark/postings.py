@@ -184,6 +184,38 @@ def encode_posting_group(doc_ids: np.ndarray, tfs: np.ndarray,
     return rows
 
 
+def encode_posting_group_blobs(doc_ids: np.ndarray, tfs: np.ndarray,
+                               doc_lens: np.ndarray,
+                               blob_offsets: np.ndarray,
+                               blob_values: np.ndarray,
+                               block_size: int, avgdl: float):
+    """Like encode_posting_group, but positions arrive pre-encoded as the
+    per-doc varint records (BinaryArray components: blob i =
+    blob_values[blob_offsets[i]:blob_offsets[i+1]]). The positions tail of
+    each block is then a pure buffer slice — zero per-position work here.
+
+    Requires doc_ids ascending (the shuffle sorts by doc_id within group).
+    → list of (block_id, min_doc, max_doc, n_docs, block_max_norm, data).
+    """
+    n = doc_ids.size
+    rows = []
+    norms = bm25_norm(tfs, doc_lens, avgdl)
+    for b0 in range(0, n, block_size):
+        b1 = min(b0 + block_size, n)
+        ids = doc_ids[b0:b1]
+        id_deltas = np.empty(b1 - b0, dtype=np.uint64)
+        id_deltas[0] = ids[0]
+        if b1 - b0 > 1:
+            id_deltas[1:] = np.diff(ids.astype(np.uint64))
+        head = encode_varints(np.concatenate((
+            np.array([b1 - b0], dtype=np.uint64), id_deltas,
+            tfs[b0:b1].astype(np.uint64), doc_lens[b0:b1].astype(np.uint64))))
+        tail = blob_values[int(blob_offsets[b0]):int(blob_offsets[b1])].tobytes()
+        rows.append((b0 // block_size, int(ids[0]), int(ids[-1]), b1 - b0,
+                     float(norms[b0:b1].max()), head + tail))
+    return rows
+
+
 def decode_posting_block(data: bytes, with_positions: bool = False):
     """→ (doc_ids, tfs, doc_lens[, positions list]) from one encoded block."""
     vals = decode_varints(data)

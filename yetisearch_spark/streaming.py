@@ -1,0 +1,190 @@
+"""Incremental / streaming index maintenance.
+
+The reference is a batch library with no streaming subsystem (SURVEY
+§2.15) — its incremental story is per-document upsert/delete inside
+SQLite transactions (reference: src/Storage/SqliteStorage.php:359-763)
+plus FTS5 'optimize' compaction (:1383-1395). The Spark-native
+equivalents:
+
+  * StructuredStreaming ingestion: ``readStream`` over a transcript
+    source → ``foreachBatch`` appending per-epoch index *segments*
+    (same layout as the main index, under segments/epoch=N/), exactly
+    the Lucene/FTS5 segment model.
+  * segment-aware querying: a SearchIndex view that unions base +
+    segment postings (term stats re-aggregated on the fly).
+  * compaction (S9 'optimize'): merge segments back into the base
+    index — one build-shaped job.
+  * deletes (S5): a tombstone table anti-joined at query time, applied
+    physically at compaction.
+
+Epoch doc_ids are allocated above a high-water mark recorded in the
+manifest, so segment builds never collide with base ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import build as build_mod
+from .build import build_index, load_manifest
+
+
+def segment_dir(index_dir: str, epoch: int) -> str:
+    return os.path.join(index_dir, "segments", f"epoch={epoch}")
+
+
+def list_segments(index_dir: str) -> list[int]:
+    root = os.path.join(index_dir, "segments")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("epoch="):
+            if os.path.exists(os.path.join(root, name, "manifest.json")):
+                out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _doc_count(manifest: dict) -> int:
+    return int(manifest["stages"]["docs"]["counters"]["docs"])
+
+
+def high_water_doc_id(index_dir: str) -> int:
+    """Base docs + all committed segment docs (dense id allocation)."""
+    total = _doc_count(load_manifest(index_dir))
+    for ep in list_segments(index_dir):
+        total += _doc_count(load_manifest(segment_dir(index_dir, ep)))
+    return total
+
+
+def append_segment(spark: SparkSession, index_dir: str,
+                   transcripts: DataFrame, epoch: int, **build_kwargs) -> dict:
+    """Build one incremental segment (a full mini-index) whose doc_ids
+    start at the current high-water mark."""
+    base = high_water_doc_id(index_dir)
+    seg = segment_dir(index_dir, epoch)
+    cfg = load_manifest(index_dir).get("config", {})
+    kwargs = {"num_buckets": cfg.get("num_buckets", 32),
+              "block_size": cfg.get("block_size", 128),
+              "salt_threshold": cfg.get("salt_threshold", 100_000),
+              "num_salts": cfg.get("num_salts", 16)}
+    kwargs.update(build_kwargs)
+    manifest = build_index(spark, transcripts, seg,
+                           input_path=f"<stream epoch {epoch}>", **kwargs)
+    # shift the segment's doc_id space above the base index
+    offsets = manifest["stages"]["docs"]["counters"]["doc_offsets"]
+    shifted = {k: int(v) + base for k, v in offsets.items()}
+    manifest["stages"]["docs"]["counters"]["doc_offsets"] = shifted
+    manifest["doc_id_base"] = base
+    tmp = os.path.join(seg, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(seg, "manifest.json"))
+    return manifest
+
+
+def streaming_index_writer(spark: SparkSession, index_dir: str,
+                           **build_kwargs):
+    """foreachBatch sink: each micro-batch becomes one segment.
+
+    Usage:
+        q = (stream_df.writeStream
+             .foreachBatch(streaming_index_writer(spark, idx_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_segment(spark, index_dir, batch_df, int(epoch_id),
+                       **build_kwargs)
+
+    return write_batch
+
+
+# ---------------------------------------------------------------------------
+# tombstones (S5 delete semantics)
+# ---------------------------------------------------------------------------
+
+def tombstone_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
+    """Record deletes; applied as an anti-join at query time and made
+    physical at compaction (delete-vector model)."""
+    df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    df.write.mode("append").parquet(tombstone_path(index_dir))
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = tombstone_path(index_dir)
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+# ---------------------------------------------------------------------------
+# segment-aware view + compaction
+# ---------------------------------------------------------------------------
+
+class SegmentedIndex:
+    """Query view over base + segments (union of docs/postings, term
+    stats merged on the fly). For serving-grade latency, compact."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from .query import SearchIndex
+
+        self.spark = spark
+        self.index_dir = index_dir
+        parts = [index_dir] + [segment_dir(index_dir, e)
+                               for e in list_segments(index_dir)]
+        self._indexes = [SearchIndex(spark, p) for p in parts]
+        self._tomb = load_tombstones(spark, index_dir)
+
+    @property
+    def n_docs(self) -> int:
+        return sum(ix.n_docs for ix in self._indexes)
+
+    def docs(self) -> DataFrame:
+        out = None
+        for ix in self._indexes:
+            out = ix._docs if out is None else out.unionByName(ix._docs)
+        if self._tomb is not None:
+            out = out.join(self._tomb, "doc_id", "left_anti")
+        return out
+
+    def search(self, query, k: int = 10) -> DataFrame:
+        """Per-segment scoring with GLOBAL statistics would require a merged
+        stats pass; this view scores per segment and merges by score — the
+        documented trade-off of querying before compaction (identical to
+        multi-index search, reference J3). Compaction restores exact
+        single-index semantics."""
+        parts = [ix.search(query, k=k) for ix in self._indexes]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        if self._tomb is not None:
+            merged = merged.join(self._tomb, "doc_id", "left_anti")
+        return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def compact(spark: SparkSession, index_dir: str, out_dir: str,
+            **build_kwargs) -> dict:
+    """S9 'optimize': rebuild ONE index from base+segments minus
+    tombstones. Returns the new manifest."""
+    seg = SegmentedIndex(spark, index_dir)
+    docs = seg.docs()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    present = [c for c in cols if c in docs.columns]
+    transcripts = docs.select(*present)
+    cfg = load_manifest(index_dir).get("config", {})
+    kwargs = {"num_buckets": cfg.get("num_buckets", 32)}
+    kwargs.update(build_kwargs)
+    return build_index(spark, transcripts, out_dir,
+                       input_path=f"<compaction of {index_dir}>", **kwargs)
