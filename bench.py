@@ -23,7 +23,7 @@ os.environ["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "200000"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "1000000"))
 WORK_DIR = os.environ.get("BENCH_WORK_DIR", "/tmp/yetisearch_bench")
 
 
@@ -48,6 +48,9 @@ def main() -> None:
     from yetisearch_spark.query import SearchIndex
 
     timings: dict[str, float] = {}
+
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
 
     # -- headline operator queries over the sf tables -----------------------
     headline = ["bm25_topk", "term_stats", "phrase_count", "dedup_rollup",
