@@ -165,18 +165,142 @@ def _query_terms_for_highlight(query: str) -> list[str]:
 class Engine:
     """search/count/facets/aggregations/stats over one or more indexes."""
 
-    def __init__(self, spark: SparkSession, index_dirs: dict[str, str]):
+    def __init__(self, spark: SparkSession, index_dirs: dict[str, str],
+                 config: dict | None = None):
         self.spark = spark
         self.indexes = {name: SearchIndex(spark, path)
                         for name, path in index_dirs.items()}
+        self.config = {
+            "enable_fuzzy": True,
+            "fuzzy_correction_mode": True,     # correction vs expansion
+            "fuzzy_algorithm": "trigram",
+            "fuzzy_score_penalty": 0.25,
+            "fuzzy_total_max_variations": 30,
+            "enable_word_merge": True,
+            "enable_synonyms": False,
+            "synonyms": {},
+            "min_term_frequency": 2,
+            "max_indexed_terms": 20_000,
+            **(config or {}),
+        }
+        self._correctors: dict[str, object] = {}
 
     def index(self, name: str) -> SearchIndex:
         return self.indexes[name]
 
+    def corrector(self, index: str):
+        """Broadcast-vocabulary Corrector (reference getIndexedTerms shape:
+        df ≥ min_term_frequency, top max_indexed_terms by frequency)."""
+        if index not in self._correctors:
+            from .correction import Corrector
+
+            idx = self.indexes[index]
+            rows = (idx._term_stats
+                    .where(F.col("df") >= self.config["min_term_frequency"])
+                    .orderBy(F.desc("df"))
+                    .limit(self.config["max_indexed_terms"])
+                    .select("term", "df").collect())
+            self._correctors[index] = Corrector(
+                {r["term"]: int(r["df"]) for r in rows})
+        return self._correctors[index]
+
+    # -- query compilation (reference processQuery,
+    # src/Search/SearchEngine.php:394-654) ------------------------------------
+
+    def _compile(self, index: str, q: SearchQuery):
+        """→ (AST node, fuzzy_term_map, query_tokens). Non-fuzzy queries go
+        straight to the FTS-style parser (supports phrases/NEAR/prefix/
+        booleans); fuzzy queries run tokens through merge + correction or
+        expansion over the index vocabulary."""
+        from .analyzer import analyze
+        from .correction import expand_synonyms
+        from .query import And, Near, Or, Phrase
+
+        fuzzy_map: dict[str, dict] = {}
+        if not (q.fuzzy and self.config["enable_fuzzy"]):
+            node = parse_query(q.query)
+            if self.config["enable_synonyms"] and self.config["synonyms"]:
+                toks = analyze(q.query)
+                syn = expand_synonyms(toks, self.config["synonyms"])
+                extra = [s for alts in syn.values() for s in alts]
+                if extra:
+                    parts = [node] if node else []
+                    parts += [Phrase(tuple(analyze(s))) for s in extra
+                              if analyze(s)]
+                    node = Or(tuple(parts)) if len(parts) > 1 else parts[0]
+            return node, fuzzy_map, analyze(q.query)
+
+        corr = self.corrector(index)
+        tokens = analyze(q.query)
+        if self.config["enable_word_merge"]:
+            merged = corr.merge_tokens(tokens)
+            for m, o in zip(merged, tokens):
+                if m != o:
+                    fuzzy_map[m] = {"type": "merge", "original": o}
+            tokens = merged
+        for t in tokens:
+            fuzzy_map.setdefault(t, {"type": "exact", "original": t})
+
+        if self.config["fuzzy_correction_mode"]:
+            corrected: list[str] = []
+            for t in tokens:
+                c = corr.find_best_correction(t)
+                for part in c.split(" "):  # compound splits become 2 tokens
+                    corrected.append(part)
+                    if part.lower() != t.lower():
+                        fuzzy_map[part.lower()] = {"type": "correction",
+                                                   "original": t}
+            exact = [Phrase((t,)) for t in corrected]
+            if not exact:
+                return None, fuzzy_map, tokens
+            if len(exact) == 1:
+                return exact[0], fuzzy_map, corrected
+            # reference combined shape: ("a b" OR NEAR(a b, 10) OR a OR b)
+            node = Or((Phrase(tuple(corrected)),
+                       Near(tuple(exact), 10), *exact))
+            return node, fuzzy_map, corrected
+
+        # expansion mode: OR in vocabulary variations with metric tags
+        from . import fuzzy as fz
+
+        algo = self.config["fuzzy_algorithm"]
+        budget = int(self.config["fuzzy_total_max_variations"])
+        variation_terms: list[str] = []
+        for t in tokens:
+            if budget <= 0:
+                break
+            vars_ = corr.variations(t, algorithm=algo)[:budget]
+            for v in vars_:
+                if v.lower() == t.lower():
+                    continue
+                info = {"type": "fuzzy", "original": t}
+                if algo == "levenshtein":
+                    info["distance"] = fz.levenshtein_distance(t, v)
+                elif algo == "jaro_winkler":
+                    info["similarity"] = fz.jaro_winkler(t, v)
+                else:
+                    info["similarity"] = fz.trigram_similarity(t, v)
+                fuzzy_map[v.lower()] = info
+                variation_terms.append(v)
+            budget -= max(0, len(vars_))
+        exact = [Phrase((t,)) for t in tokens]
+        parts: list = []
+        if len(exact) > 1:
+            parts = [Phrase(tuple(tokens)), Near(tuple(exact), 10), *exact]
+        else:
+            parts = list(exact)
+        parts += [Phrase((v,)) for v in variation_terms]
+        if not parts:
+            return None, fuzzy_map, tokens
+        node = Or(tuple(parts)) if len(parts) > 1 else parts[0]
+        return node, fuzzy_map, tokens
+
     # -- core search ---------------------------------------------------------
 
-    def _matches_with_docs(self, idx: SearchIndex, q: SearchQuery) -> DataFrame:
-        node = parse_query(q.query)
+    def _matches_with_docs(self, idx: SearchIndex, q: SearchQuery,
+                           node=None) -> DataFrame:
+        if node is None:
+            node = parse_query(q.query)
         scores = idx.match_scores(node)
         docs = apply_filters(idx._docs, q.filters)
         return docs.join(scores, "doc_id")
@@ -186,7 +310,28 @@ class Engine:
             q = SearchQuery(query=q)
         t0 = time.time()
         idx = self.indexes[index]
-        matched = self._matches_with_docs(idx, q)
+        node, fuzzy_map, q_tokens = self._compile(index, q)
+        matched = self._matches_with_docs(idx, q, node=node)
+
+        if q.fuzzy and fuzzy_map and "text" in matched.columns:
+            # R4: fuzzy penalty over the candidate set (reference applies it
+            # per result before normalization, SearchEngine.php:737-756)
+            from .rescoring import fuzzy_penalty
+            base_penalty = self.config["fuzzy_score_penalty"]
+            fmap = dict(fuzzy_map)
+            toks = list(q_tokens)
+
+            def _pen(batches):
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    pdf = pdf.copy()
+                    pens = [fuzzy_penalty(t or "", toks, fmap, base_penalty)
+                            for t in pdf["text"]]
+                    pdf["score"] = [s * (1.0 - p)
+                                    for s, p in zip(pdf["score"], pens)]
+                    yield pdf
+            matched = matched.mapInPandas(_pen, schema=matched.schema)
 
         # R5: normalize scores to 0-100 by the max within the result set
         # (reference: src/Search/SearchEngine.php:719-725)
@@ -232,6 +377,12 @@ class Engine:
             "count": len(results),
             "search_time": round(time.time() - t0, 4),
         }
+        if total == 0 and q.query.strip():
+            # "did you mean" on empty results (reference:
+            # src/Search/SearchEngine.php:246-249)
+            s = self.suggest(index, q.query)
+            if s:
+                out["suggestion"] = s
         if q.facets:
             out["facets"] = self.facets(index, q)
         if q.aggregations:
@@ -323,6 +474,26 @@ class Engine:
             row = matched.agg(fns[kind](fld).alias("v")).collect()[0]
             out[name] = {"value": row["v"]}
         return out
+
+    def suggest(self, index: str, query_text: str) -> Optional[dict]:
+        """Z10: 'did you mean' over the index vocabulary."""
+        from .analyzer import analyze
+        toks = analyze(query_text)
+        if not toks:
+            return None
+        return self.corrector(index).suggest(toks)
+
+    def get_document(self, index: str, conv_id: str, turn_idx: int) -> Optional[dict]:
+        """S13: point lookup by document identity."""
+        idx = self.indexes[index]
+        rows = (idx._docs.where((F.col("conv_id") == conv_id)
+                                & (F.col("turn_idx") == turn_idx))
+                .limit(1).collect())
+        if not rows:
+            return None
+        d = rows[0].asDict(recursive=True)
+        d.pop("tokens", None)
+        return d
 
     # -- stats / catalog (A5, S11) --------------------------------------------
 
