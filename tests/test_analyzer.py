@@ -181,3 +181,27 @@ def test_postings_codec_roundtrip():
     d_ids, d_tfs, d_dls, d_pos = decode_posting_block(blk, with_positions=True)
     assert (d_ids == ids).all() and (d_tfs == tfs).all() and (d_dls == dls).all()
     assert all((a == b).all() for a, b in zip(d_pos, poss))
+
+
+def test_multilanguage_stemmers():
+    """reference: tests/Unit/Analyzers/StandardAnalyzerTest.php:110-121"""
+    fr = analyze("Les ordinateurs sont utiles", language="french")
+    assert "les" not in fr            # French stop word
+    assert "ordinat" in fr            # 'ordinateurs' → 'ordinat'
+    de = analyze("Die Computer sind nützlich", language="german")
+    assert "die" not in de            # German stop word
+    assert "comput" in de             # 'computer' → 'comput'
+    es = analyze("Los ordenadores son útiles", language="spanish")
+    assert "los" not in es            # Spanish stop word
+
+
+def test_intl_stemmer_units():
+    from yetisearch_spark.stemmer_intl import (stem_french, stem_german,
+                                               stem_spanish)
+    assert stem_french("ordinateurs") == "ordinat"
+    assert stem_french("nationale") == stem_french("nationales")
+    assert stem_german("computer") == "comput"
+    assert stem_german("nützlich").startswith("nutz")
+    assert stem_german("straße") == stem_german("strasse")
+    assert stem_spanish("rápidamente") != "rápidamente"  # suffix stripped
+    assert stem_spanish("niños") == stem_spanish("niño")

@@ -40,7 +40,62 @@ under until up very was we were what when where which while who whom why
 will with would you your yours yourself yourselves
 """.split())
 
-STOP_WORDS = {"english": STOP_WORDS_EN, "en": STOP_WORDS_EN}
+STOP_WORDS_FR = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il je la le les leur lui
+ma mais me même mes moi mon ne nos notre nous on ou par pas pour qu que
+qui sa se ses son sur ta te tes toi ton tu un une vos votre vous sont est
+été être
+""".split())
+
+STOP_WORDS_DE = frozenset("""
+aber als am an auch auf aus bei bin bis bist da dadurch daher darum das
+daß dass dein deine dem den der des dessen deshalb die dies dieser dieses
+doch dort du durch ein eine einem einen einer eines er es euer eure für
+hatte hatten hattest hattet hier hinter ich ihr ihre im in ist ja jede
+jedem jeden jeder jedes jener jenes jetzt kann kannst können könnt machen
+mein meine mit muß mußt musst müssen müßt nach nachdem nein nicht nun
+oder seid sein seine sich sie sind soll sollen sollst sollt sonst soweit
+sowie und unser unsere unter vom von vor wann warum was weiter weitere
+wenn wer werde werden werdet weshalb wie wieder wieso wir wird wirst wo
+woher wohin zu zum zur über
+""".split())
+
+STOP_WORDS_ES = frozenset("""
+a al algo algunas algunos ante antes como con contra cual cuando de del
+desde donde durante e el ella ellas ellos en entre era erais eran eras
+eres es esa esas ese eso esos esta estaba estabais estaban estabas estad
+estada estadas estado estados estamos estando estar estaremos estará
+estarán estarás estaré estaréis estaría estaríais estaríamos estarían
+estarías estas este estemos esto estos estoy estuve estuviera estuvierais
+estuvieran estuvieras estuvieron estuviese estuvieseis estuviesen
+estuvieses estuvimos estuviste estuvisteis estuviéramos estuviésemos
+estuvo está estábamos estáis están estás esté estéis estén estés fue
+fuera fuerais fueran fueras fueron fuese fueseis fuesen fueses fui fuimos
+fuiste fuisteis fuéramos fuésemos ha habida habidas habido habidos
+habiendo habremos habrá habrán habrás habré habréis habría habríais
+habríamos habrían habrías habéis había habíais habíamos habían habías han
+has hasta hay haya hayamos hayan hayas hayáis he hemos hube hubiera
+hubierais hubieran hubieras hubieron hubiese hubieseis hubiesen hubieses
+hubimos hubiste hubisteis hubiéramos hubiésemos hubo la las le les lo los
+me mi mis mucho muchos muy más mí mía mías mío míos nada ni no nos
+nosotras nosotros nuestra nuestras nuestro nuestros o os otra otras otro
+otros para pero poco por porque que quien quienes qué se sea seamos sean
+seas seremos será serán serás seré seréis sería seríais seríamos serían
+serías seáis sido siendo sin sobre sois somos son soy su sus suya suyas
+suyo suyos sí también tanto te tendremos tendrá tendrán tendrás tendré
+tendréis tendría tendríais tendríamos tendrían tendrías tened tenemos
+tenga tengamos tengan tengas tengo tengáis tenida tenidas tenido tenidos
+teniendo tenéis tenía teníais teníamos tenían tenías ti tiene tienen
+tienes todo todos tu tus tuve tuviera tuvierais tuvieran tuvieras
+tuvieron tuviese tuvieseis tuviesen tuvieses tuvimos tuviste tuvisteis
+tuviéramos tuviésemos tuvo tuya tuyas tuyo tuyos tú un una uno unos
+vosotras vosotros vuestra vuestras vuestro vuestros y ya yo él éramos
+""".split())
+
+STOP_WORDS = {"english": STOP_WORDS_EN, "en": STOP_WORDS_EN,
+              "french": STOP_WORDS_FR, "fr": STOP_WORDS_FR,
+              "german": STOP_WORDS_DE, "de": STOP_WORDS_DE,
+              "spanish": STOP_WORDS_ES, "es": STOP_WORDS_ES}
 
 # ---------------------------------------------------------------------------
 # Normalization (reference: src/Analyzers/StandardAnalyzer.php:116-134,
@@ -153,6 +208,13 @@ def _valid(token: str) -> bool:
     return MIN_WORD_LENGTH <= n <= MAX_WORD_LENGTH and bool(_HAS_ALNUM_RE.search(token))
 
 
+def _stemmer_for(language: str):
+    if language in ("english", "en"):
+        return _stem_en
+    from .stemmer_intl import STEMMERS
+    return STEMMERS.get(language, _stem_en)
+
+
 def analyze(text: str, language: str = "english",
             _memo: dict | None = None) -> List[str]:
     """Full pipeline → list of index terms (positions = list indices)."""
@@ -161,19 +223,21 @@ def analyze(text: str, language: str = "english",
     memo = _memo if _memo is not None else {}
     out = []
     stop = STOP_WORDS.get(language, STOP_WORDS_EN)
+    stem_fn = _stemmer_for(language)
     for tok in tokenize(normalize(text)):
         if tok in stop:
             continue
         stemmed = memo.get(tok)
         if stemmed is None:
-            stemmed = _stem_en(tok)
+            stemmed = stem_fn(tok)
             memo[tok] = stemmed
         if _valid(stemmed):
             out.append(stemmed)
     return out
 
 
-def analyze_batch(texts: Iterable[str]) -> List[List[str]]:
+def analyze_batch(texts: Iterable[str],
+                  language: str = "english") -> List[List[str]]:
     """Analyze a batch sharing one stem memo (vocabulary ≪ token count)."""
     memo: dict = {}
-    return [analyze(t or "", _memo=memo) for t in texts]
+    return [analyze(t or "", language, _memo=memo) for t in texts]

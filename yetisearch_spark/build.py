@@ -225,6 +225,7 @@ def build_index(
     num_salts: int = DEFAULT_NUM_SALTS,
     shuffle_partitions: int | None = None,
     input_path: str | None = None,
+    language: str = "english",
     resume: bool = True,
 ) -> dict:
     """Build the full index; returns the manifest. Resumable per stage."""
@@ -233,6 +234,7 @@ def build_index(
     manifest["config"] = {
         "num_buckets": num_buckets, "block_size": block_size,
         "salt_threshold": salt_threshold, "num_salts": num_salts,
+        "language": language,
     }
     manifest["lineage"] = {"input_path": input_path or "<dataframe>"}
     if shuffle_partitions is None:
@@ -247,7 +249,7 @@ def build_index(
     # Catalyst expression over the staged (_pid, _ord) columns) -------------
     if not _stage_done(manifest, "docs"):
         t0 = time.time()
-        analyze_udf = make_analyze_udf()
+        analyze_udf = make_analyze_udf(language)
         staged = with_partition_ordinals(transcripts, ["conv_id", "turn_idx"],
                                          shuffle_partitions)
         docs = (

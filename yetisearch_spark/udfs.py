@@ -19,12 +19,13 @@ POSTING_STRUCT = ArrayType(StructType([
 ]))
 
 
-def make_analyze_udf():
+def make_analyze_udf(language: str = "english"):
     """text column → array<string> of analyzed index terms."""
 
     @pandas_udf(ArrayType(StringType()))
     def analyze_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(analyze_batch(texts.tolist()), index=texts.index)
+        return pd.Series(analyze_batch(texts.tolist(), language),
+                         index=texts.index)
 
     return analyze_udf
 
