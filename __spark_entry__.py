@@ -219,6 +219,99 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: broadcast-dim join + agg (customer ⋈ orders revenue by
+    market segment)."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: char-3-gram Jaccard pairs over the first 80 docs."""
+    from yetisearch_spark.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 80)
+    return (ngram_jaccard_pairs(docs, threshold=0.3)
+            .orderBy("a", "b"))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups via MinHash+LSH (rows-only check: the banded
+    signature join is not ANSI-SQL-expressible)."""
+    from yetisearch_spark.dedup import minhash_lsh_dedup
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_dedup(docs, num_hashes=64, bands=16,
+                             jaccard_threshold=0.5).orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via SimHash banding (rows-only)."""
+    from yetisearch_spark.dedup import simhash_pairs
+    docs = (_docs(spark, sf_dir)
+            .withColumn("tokens", F.split(F.lower("text"), TOKEN_SPLIT)))
+    return simhash_pairs(docs, max_hamming=6).orderBy("a", "b")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (rows-only; exact brute-force
+    twin is oracle-checked as ann_cosine_topk)."""
+    from yetisearch_spark.similarity import lsh_cosine_topk, lsh_index
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4,
+                                dim=len(qvec))
+    return (lsh_cosine_topk(indexed, tables, qvec, k=10)
+            .where(F.col("vec_id") != 0))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic counts (rows-only; the n-gram voting isn't
+    SQL)."""
+    from yetisearch_spark.textstats import make_langid_udf
+    docs = _docs(spark, sf_dir)
+    return (docs.select(make_langid_udf()(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("lang_pred"))
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-feature pass (rows-only; the simple SQL twin is
+    oracle-checked as quality_score)."""
+    from yetisearch_spark.textstats import quality_features
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return quality_features(docs).select(
+        "doc_id", "n_words", "punct_ratio", "stopword_ratio",
+        "quality_score").orderBy("doc_id")
+
+
+def q_engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy typo correction through the live engine (rows-only)."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    idx = _engine_index(spark, sf_dir)
+    eng = Engine(spark, {"main": idx.index_dir})
+    res = eng.search("main", SearchQuery(query="dta quiery", fuzzy=True,
+                                         limit=10))
+    rows = [(r["document"]["doc_id"], float(r["score"]))
+            for r in res["results"]]
+    return spark.createDataFrame(rows or [(None, None)],
+                                 "doc_id long, score double").where(
+        F.col("doc_id").isNotNull())
+
+
+def q_engine_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max pruned top-k (rows-only; equality with the exact path is
+    asserted in tests/test_wand.py)."""
+    from yetisearch_spark.wand import pruned_topk
+    idx = _engine_index(spark, sf_dir)
+    df = pruned_topk(idx, "data AND queri", k=10)
+    return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path (analyzer → postings index → BM25 top-k). Verified
     rank-identical to SQLite FTS5 by tests/test_rank_identity.py; here the
@@ -286,7 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1": q_tpch_q1,
+        "join_agg": q_join_agg,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann": q_lsh_ann,
+        "langid": q_langid,
+        "quality_features": q_quality_features,
         "engine_search": q_engine_search,
+        "engine_fuzzy": q_engine_fuzzy,
+        "engine_pruned_topk": q_engine_pruned_topk,
     }
 
 
@@ -419,7 +521,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        # engine_search: intentionally omitted — full analyzer (Porter stem,
-        # stop-filter, contractions) is not ANSI-SQL-expressible; covered by
-        # the SQLite FTS5 rank-identity pytest suite instead.
+        "join_agg": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+            grams AS (
+                SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS gram
+                FROM d, LATERAL (SELECT unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i) u
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+                FROM grams l JOIN grams r
+                  ON l.gram = r.gram AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id)
+            SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3
+            ORDER BY a, b
+        """,
+        # engine_search / engine_fuzzy / engine_pruned_topk / minhash_dedup /
+        # simhash_pairs / lsh_ann / langid / quality_features: intentionally
+        # omitted — stemming, banded-hash joins and heuristics are not
+        # ANSI-SQL-expressible; the SQLite FTS5 rank-identity pytest suite,
+        # tests/test_wand.py (pruned == exact), and tests/test_pipeline_ops.py
+        # carry the strong checks for these.
     }
