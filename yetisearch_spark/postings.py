@@ -194,10 +194,31 @@ def encode_posting_group_blobs(doc_ids: np.ndarray, tfs: np.ndarray,
     blob_values[blob_offsets[i]:blob_offsets[i+1]]). The positions tail of
     each block is then a pure buffer slice — zero per-position work here.
 
-    Requires doc_ids ascending (the shuffle sorts by doc_id within group).
+    doc_ids need not be pre-sorted: Spark bin-packs multiple files into
+    one read split, so a split's doc order can jump between file ranges —
+    blocks must still carry correct min/max metadata (WAND pruning relies
+    on it). Out-of-order input is sorted here with a vectorized ragged
+    gather of the blob records.
+
     → list of (block_id, min_doc, max_doc, n_docs, block_max_norm, data).
     """
     n = doc_ids.size
+    if n > 1 and not (doc_ids[1:] >= doc_ids[:-1]).all():
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        doc_lens = doc_lens[order]
+        counts = np.diff(blob_offsets)
+        starts = blob_offsets[:-1]
+        sel_starts = starts[order]
+        sel_counts = counts[order]
+        new_offsets = np.concatenate(([0], np.cumsum(sel_counts))).astype(np.int64)
+        total = int(new_offsets[-1])
+        idx = (np.repeat(sel_starts, sel_counts)
+               + (np.arange(total, dtype=np.int64)
+                  - np.repeat(new_offsets[:-1], sel_counts)))
+        blob_values = blob_values[idx]
+        blob_offsets = new_offsets
     rows = []
     norms = bm25_norm(tfs, doc_lens, avgdl)
     for b0 in range(0, n, block_size):

@@ -394,7 +394,7 @@ class SearchIndex:
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._docs = load_docs(spark, index_dir, self.manifest)
-        self._bucket_cache: dict[str, int] = {}
+        self._vocab_cache: dict | None | bool = None
 
     # -- postings access ----------------------------------------------------
 
@@ -424,21 +424,31 @@ class SearchIndex:
         return decoded
 
     def _buckets_for_terms(self, terms: Sequence[str]) -> list[int]:
-        """xxhash64(term) % num_buckets, computed via Spark to guarantee the
-        exact same hash as the build (one tiny local job, cached)."""
-        missing = [t for t in set(terms) if t not in self._bucket_cache]
-        if missing:
-            rows = (self.spark.createDataFrame([(t,) for t in missing], "term string")
-                    .select("term", F.pmod(F.xxhash64("term"),
-                                           F.lit(self.num_buckets)).cast("int").alias("b"))
-                    .collect())
-            for r in rows:
-                self._bucket_cache[r["term"]] = r["b"]
-        return sorted({self._bucket_cache[t] for t in set(terms)})
+        """pmod(xxhash64(term), num_buckets) — computed driver-side with a
+        bit-exact pure-Python XXH64 (xxhash64.py, verified against
+        Catalyst), so query planning needs NO Spark job."""
+        from .xxhash64 import bucket_of
+        return sorted({bucket_of(t, self.num_buckets) for t in set(terms)})
+
+    _VOCAB_CACHE_MAX = 2_000_000
 
     def term_stats_for(self, terms: Sequence[str]) -> dict[str, tuple[int, int]]:
         if not terms:
             return {}
+        if self._vocab_cache is None:
+            vocab_n = (self.manifest.get("stages", {})
+                       .get("term_stats", {}).get("counters", {})
+                       .get("vocab"))
+            if vocab_n is not None and vocab_n <= self._VOCAB_CACHE_MAX:
+                # small vocabulary → one-time full load, then zero jobs/query
+                rows = self._term_stats.select("term", "df", "cf").collect()
+                self._vocab_cache = {r["term"]: (int(r["df"]), int(r["cf"]))
+                                     for r in rows}
+            else:
+                self._vocab_cache = False  # too big — per-query lookups
+        if self._vocab_cache:
+            return {t: self._vocab_cache[t] for t in set(terms)
+                    if t in self._vocab_cache}
         rows = (self._term_stats
                 .where(F.col("term").isin(list(set(terms))))
                 .select("term", "df", "cf").collect())
