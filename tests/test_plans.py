@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scan-level optimizations we claim must
+actually appear in the executed plans (bucket partition pruning, term
+predicate pushdown, column pruning, broadcast join, whole-stage codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yetisearch_spark.corpus import generate_transcripts
+from yetisearch_spark.build import build_index
+from yetisearch_spark.query import SearchIndex
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plan_idx"))
+    pdf = generate_transcripts(1000, seed=13)
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    return SearchIndex(spark, out)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_postings_read_prunes_buckets_and_pushes_term(index):
+    from yetisearch_spark.xxhash64 import bucket_of
+    term = index._term_stats.limit(1).collect()[0]["term"]
+    b = bucket_of(term, index.num_buckets)
+    df = (index._postings
+          .where(F.col("bucket").isin([b]))
+          .where(F.col("term") == term)
+          .select("term", "data"))
+    plan = _plan(df)
+    # partition pruning on the bucket directory column
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # term predicate pushed to the parquet scan
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "term" in pushed and "IsNotNull" in pushed or "EqualTo" in pushed
+    # column pruning: data+term only (no min_doc/block_max in ReadSchema)
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "block_max_norm" not in read_schema
+
+
+def test_prefix_range_pushdown(index):
+    df = (index._postings
+          .where((F.col("term") >= "da") & (F.col("term") < "db"))
+          .select("term", "data"))
+    pushed = _plan(df).split("PushedFilters", 1)[1][:300]
+    assert "GreaterThanOrEqual" in pushed and "LessThan" in pushed
+
+
+def test_docs_filter_pushdown(index):
+    df = index._docs.where(F.col("role") == "assistant").select("doc_id", "role")
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "role" in pushed
+    # text/tokens not read for this projection
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "tokens" not in read_schema and "text" not in read_schema
+
+
+def test_with_docs_uses_broadcast_join(index):
+    df = index.search("data", k=5, with_docs=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_wholestage_codegen_on_scoring(index):
+    from yetisearch_spark.query import parse_query
+    df = index.match_scores(parse_query("data AND process"))
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    # '*(n)' markers are WholeStageCodegen spans in treeString output
+    assert "*(" in plan
+    # AQE promotes the per-term score joins to broadcast hash joins
+    assert "BroadcastHashJoin" in plan
+
+
+def test_metadata_phase_never_reads_data_column(index):
+    # the WAND phase-1 projection must not touch the `data` bytes
+    df = (index._postings
+          .where(F.col("term") == "data")
+          .select("term", "min_doc", "max_doc", "n_docs", "block_max_norm"))
+    read_schema = _plan(df).split("ReadSchema", 1)[1][:400]
+    assert "data" not in read_schema.replace("max_doc", "").replace("min_doc", "")
