@@ -145,3 +145,24 @@ def test_snippet_and_highlight_helpers():
     assert "<mark>needle</mark>" in highlight_terms(snip, ["needle"])
     # plural probe
     assert "<mark>needles</mark>" in highlight_terms("many needles", ["needle"])
+
+
+def test_result_fields_projection(engine):
+    q = SearchQuery(query="search", limit=2, result_fields=["role", "text"])
+    res = engine.search("main", q)
+    doc = res["results"][0]["document"]
+    assert "role" in doc and "text" in doc
+    assert "tool" not in doc and "ts" not in doc
+
+
+def test_result_cache(engine):
+    q = SearchQuery(query="data", limit=3)
+    r1 = engine.search("main", q)
+    r2 = engine.search("main", q)
+    assert r2 is r1  # LRU hit returns the same object
+    engine.clear_cache()
+    r3 = engine.search("main", q)
+    assert r3 is not r1 and r3["total"] == r1["total"]
+    r4 = engine.search("main", SearchQuery(query="data", limit=3,
+                                           bypass_cache=True))
+    assert r4 is not r3

@@ -86,3 +86,18 @@ def test_segments_and_compaction(spark, tmp_path):
     compact(spark, idx_dir, compact_dir)
     cidx = SearchIndex(spark, compact_dir)
     assert cidx.n_docs == 599
+
+
+def test_delete_by_conv_prefix(spark, tmp_path):
+    from yetisearch_spark.streaming import SegmentedIndex, delete_by_conv_prefix
+
+    pdf = generate_transcripts(300, seed=66)
+    idx_dir = str(tmp_path / "prefix_idx")
+    build_index(spark, spark.createDataFrame(pdf), idx_dir, num_buckets=4)
+    target_prefix = pdf["conv_id"].iloc[0][:9]  # e.g. 'conv_0000'
+    expected = int(pdf["conv_id"].str.startswith(target_prefix).sum())
+    n = delete_by_conv_prefix(spark, idx_dir, target_prefix)
+    assert n == expected
+    seg = SegmentedIndex(spark, idx_dir)
+    assert seg.docs().where(
+        F.col("conv_id").startswith(target_prefix)).count() == 0

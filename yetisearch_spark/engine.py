@@ -48,6 +48,8 @@ class SearchQuery:
     unique_by_route: bool = False
     min_score: float = 0.0
     boost_fields: dict[str, float] = field(default_factory=dict)
+    result_fields: list[str] = field(default_factory=list)  # F5 projection
+    bypass_cache: bool = False
 
 
 _FILTER_OPS = {"=", "!=", ">", "<", ">=", "<=", "like", "not like", "contains",
@@ -308,6 +310,19 @@ class Engine:
     def search(self, index: str, q: SearchQuery | str) -> dict:
         if isinstance(q, str):
             q = SearchQuery(query=q)
+        cache_key = None
+        if not q.bypass_cache:
+            # K1: engine-level result LRU (TTL 300s, 100 entries —
+            # reference: src/Search/SearchEngine.php:2375-2417)
+            import hashlib
+            cache_key = (index, hashlib.md5(repr(
+                (q.query, q.limit, q.offset, q.filters, sorted(q.sort.items()),
+                 q.fuzzy, q.min_score, q.unique_by_route, q.highlight,
+                 sorted(q.facets), sorted(q.aggregations),
+                 q.result_fields)).encode()).hexdigest())
+            hit = self._cache_get(cache_key)
+            if hit is not None:
+                return hit
         t0 = time.time()
         idx = self.indexes[index]
         node, fuzzy_map, q_tokens = self._compile(index, q)
@@ -363,6 +378,12 @@ class Engine:
         for r in page:
             d = r.asDict(recursive=True)
             d.pop("tokens", None)
+            if q.result_fields:
+                # F5: keep only configured result fields
+                # (reference: src/Search/SearchEngine.php:1171-1185)
+                keep = set(q.result_fields) | {"doc_id", "conv_id",
+                                               "turn_idx", "score"}
+                d = {k: v for k, v in d.items() if k in keep}
             item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
                     if "conv_id" in d else str(d.get("doc_id")),
                     "score": d.pop("score"), "document": d}
@@ -387,7 +408,37 @@ class Engine:
             out["facets"] = self.facets(index, q)
         if q.aggregations:
             out["aggregations"] = self.aggregations(index, q)
+        if cache_key is not None:
+            self._cache_put(cache_key, out)
         return out
+
+    # -- K1: result cache ------------------------------------------------------
+
+    _CACHE_TTL_S = 300.0
+    _CACHE_MAX = 100
+
+    def _cache_get(self, key):
+        ent = getattr(self, "_result_cache", {}).get(key)
+        if ent is None:
+            return None
+        ts, value = ent
+        if time.time() - ts > self._CACHE_TTL_S:
+            del self._result_cache[key]
+            return None
+        return value
+
+    def _cache_put(self, key, value) -> None:
+        if not hasattr(self, "_result_cache"):
+            self._result_cache = {}
+        cache = self._result_cache
+        if len(cache) >= self._CACHE_MAX:
+            oldest = min(cache, key=lambda k: cache[k][0])
+            del cache[oldest]
+        cache[key] = (time.time(), value)
+
+    def clear_cache(self) -> None:
+        """K2 invalidation analog: call after index mutations."""
+        self._result_cache = {}
 
     def _dedup_by_route(self, matched: DataFrame) -> DataFrame:
         """A7: roll up results by route — composite score = sum, the

@@ -122,6 +122,23 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None
     df.write.mode("append").parquet(tombstone_path(index_dir))
 
 
+def delete_by_conv_prefix(spark: SparkSession, index_dir: str,
+                          prefix: str) -> int:
+    """S6 deleteByIdPrefix analog: tombstone every doc whose conv_id starts
+    with prefix (reference: src/Storage/SqliteStorage.php:775-856).
+    Returns the number of tombstoned docs."""
+    from .build import load_docs
+
+    seg = SegmentedIndex(spark, index_dir)
+    victims = (seg.docs()
+               .where(F.col("conv_id").startswith(prefix))
+               .select("doc_id"))
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(tombstone_path(index_dir))
+    return n
+
+
 def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     p = tombstone_path(index_dir)
     if not os.path.isdir(p):
