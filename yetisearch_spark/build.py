@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                DoubleType, StringType, StructField, StructType)
 
-from .udfs import make_analyze_udf, make_postings_udf
+from .udfs import make_analyze_udf
 from .docids import doc_id_expr, partition_offsets, with_partition_ordinals
 from .postings import BLOCK_SIZE
 

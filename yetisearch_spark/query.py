@@ -680,7 +680,6 @@ class SearchIndex:
         node = parse_query(query) if isinstance(query, str) else query
         if node is None:
             return 0
-        slots, phrase_tables, near_tables_, decoded = None, None, None, None
         slots, phrase_tables, _, near_tables, decoded = self._plan(node)
         if decoded is None or not slots:
             return 0
