@@ -96,6 +96,19 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 4)
         q_lat.append(dt)
+
+    # block-max pruned serving path
+    from yetisearch_spark.wand import pruned_topk
+    t0 = time.time()
+    pruned_topk(idx, "search AND data", k=10).collect()
+    timings["engine_pruned_and"] = round(time.time() - t0, 4)
+
+    # fuzzy typo correction through the engine
+    from yetisearch_spark.engine import Engine, SearchQuery
+    eng = Engine(spark, {"main": index_dir})
+    t0 = time.time()
+    eng.search("main", SearchQuery(query="serch dta", fuzzy=True, limit=10))
+    timings["engine_fuzzy"] = round(time.time() - t0, 4)
     q_lat.sort()
     p95 = q_lat[max(0, int(len(q_lat) * 0.95) - 1)] if q_lat else 0.0
 
