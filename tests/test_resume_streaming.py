@@ -101,3 +101,25 @@ def test_delete_by_conv_prefix(spark, tmp_path):
     seg = SegmentedIndex(spark, idx_dir)
     assert seg.docs().where(
         F.col("conv_id").startswith(target_prefix)).count() == 0
+
+
+def test_build_with_language_option(spark, tmp_path):
+    import pandas as pd
+    texts = ["Les ordinateurs sont utiles pour les développeurs",
+             "La maison est grande et belle aujourd'hui",
+             "Les ordinateurs modernes calculent rapidement"] * 30
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:04d}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts),
+        "role": ["user"] * len(texts),
+        "text": texts,
+        "tool": [None] * len(texts),
+        "ts": pd.Timestamp("2025-01-01"),
+    })
+    out = str(tmp_path / "fr_idx")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=4,
+                language="french")
+    idx = SearchIndex(spark, out)
+    # 'ordinateurs' stems to 'ordinat' under the French stemmer
+    assert idx.count('"ordinat"') == 60
+    assert load_manifest(out)["config"]["language"] == "french"
