@@ -327,6 +327,9 @@ class Engine:
         idx = self.indexes[index]
         node, fuzzy_map, q_tokens = self._compile(index, q)
         matched = self._matches_with_docs(idx, q, node=node)
+        # one search runs several jobs over the match set (max, count,
+        # page, facets, aggregations) — materialize it once
+        matched = matched.persist()
 
         if q.fuzzy and fuzzy_map and "text" in matched.columns:
             # R4: fuzzy penalty over the candidate set (reference applies it
@@ -405,9 +408,10 @@ class Engine:
             if s:
                 out["suggestion"] = s
         if q.facets:
-            out["facets"] = self.facets(index, q)
+            out["facets"] = self.facets(index, q, matched=matched)
         if q.aggregations:
-            out["aggregations"] = self.aggregations(index, q)
+            out["aggregations"] = self.aggregations(index, q, matched=matched)
+        matched.unpersist()
         if cache_key is not None:
             self._cache_put(cache_key, out)
         return out
@@ -468,11 +472,12 @@ class Engine:
     # -- facets / aggregations (A1-A5) ----------------------------------------
 
     def facets(self, index: str, q: SearchQuery,
-               sample_limit: int = 1000) -> dict:
+               sample_limit: int = 1000, matched: DataFrame | None = None) -> dict:
         """A1: value counts of fields over the (sampled) match set
         (reference samples the top-1000 hits: SearchEngine.php:1267-1269)."""
         idx = self.indexes[index]
-        matched = self._matches_with_docs(idx, q)
+        if matched is None:
+            matched = self._matches_with_docs(idx, q)
         sample = matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(sample_limit)
         out = {}
         for fld, opts in q.facets.items():
@@ -511,12 +516,14 @@ class Engine:
                 out[fld] = [{"value": r[fld], "count": r["count"]} for r in rows]
         return out
 
-    def aggregations(self, index: str, q: SearchQuery) -> dict:
+    def aggregations(self, index: str, q: SearchQuery,
+                     matched: DataFrame | None = None) -> dict:
         """A4: avg/min/max/sum/count over match-set columns — documented in
         the reference but stubbed there (SearchEngine.php:1309-1314);
         implemented here for surface parity."""
         idx = self.indexes[index]
-        matched = self._matches_with_docs(idx, q)
+        if matched is None:
+            matched = self._matches_with_docs(idx, q)
         out = {}
         fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
                "count": F.count}

@@ -579,6 +579,11 @@ class SearchIndex:
             elif len(p.terms) == 1:
                 phrase_tables[p] = self._phrase_match(p, decoded)
                 phrase_df[p] = term_stats.get(p.terms[0], (0, 0))[0]
+            elif any(t not in term_stats for t in p.terms):
+                # a constituent term is out-of-vocabulary → the phrase can
+                # never match; skip the df-count job entirely
+                phrase_tables[p] = self._phrase_match(p, decoded)
+                phrase_df[p] = 0
             else:
                 mt = self._phrase_match(p, decoded).persist()
                 phrase_tables[p] = mt
