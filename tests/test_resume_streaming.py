@@ -88,6 +88,46 @@ def test_segments_and_compaction(spark, tmp_path):
     assert cidx.n_docs == 599
 
 
+def test_segment_doc_ids_consistent_across_postings_and_docs(spark, tmp_path):
+    """A segment search hit's doc_id (postings space) must join back to the
+    correct segment document text (docs space) — regression for the
+    doc_id_base shift living only in the manifest."""
+    from yetisearch_spark.streaming import (SegmentedIndex, append_segment,
+                                            delete_docs)
+
+    base_pdf = generate_transcripts(150, seed=71)
+    seg_pdf = generate_transcripts(60, seed=72)
+    seg_pdf["conv_id"] = seg_pdf["conv_id"].str.replace("conv_", "seg_")
+    # plant a unique marker term ONLY in segment docs
+    seg_pdf.loc[seg_pdf.index[:5], "text"] = [
+        f"zebrafish quantum marker number {i}" for i in range(5)]
+
+    idx_dir = str(tmp_path / "idspace_idx")
+    build_index(spark, spark.createDataFrame(base_pdf), idx_dir, num_buckets=4)
+    append_segment(spark, idx_dir, spark.createDataFrame(seg_pdf), epoch=0)
+
+    seg = SegmentedIndex(spark, idx_dir)
+    hits = seg.search("zebrafish", k=10).collect()
+    assert len(hits) == 5
+    hit_ids = {r["doc_id"] for r in hits}
+    # postings-space ids are above the base high-water mark
+    assert all(d >= 150 for d in hit_ids)
+    # and join back to exactly the marker documents in the docs view
+    joined = (seg.docs()
+              .where(F.col("doc_id").isin(list(hit_ids)))
+              .select("text").collect())
+    assert len(joined) == 5
+    assert all("zebrafish" in r["text"] for r in joined)
+
+    # tombstoning a search-hit id removes that document from BOTH spaces
+    victim = sorted(hit_ids)[0]
+    delete_docs(spark, idx_dir, [victim])
+    seg2 = SegmentedIndex(spark, idx_dir)
+    assert all(r["doc_id"] != victim
+               for r in seg2.search("zebrafish", k=10).collect())
+    assert seg2.docs().where(F.col("doc_id") == victim).count() == 0
+
+
 def test_delete_by_conv_prefix(spark, tmp_path):
     from yetisearch_spark.streaming import SegmentedIndex, delete_by_conv_prefix
 

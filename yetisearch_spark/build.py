@@ -226,9 +226,15 @@ def build_index(
     shuffle_partitions: int | None = None,
     input_path: str | None = None,
     language: str = "english",
+    doc_id_base: int = 0,
     resume: bool = True,
 ) -> dict:
-    """Build the full index; returns the manifest. Resumable per stage."""
+    """Build the full index; returns the manifest. Resumable per stage.
+
+    ``doc_id_base`` shifts the whole doc_id space (docs AND posting
+    blobs AND block min/max metadata) — used by streaming segments so a
+    segment's ids never collide with the base index
+    (reference upsert model: src/Storage/SqliteStorage.php:359-763)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir) if resume else {"stages": {}, "lineage": {}, "config": {}}
     manifest["config"] = {
@@ -236,6 +242,7 @@ def build_index(
         "salt_threshold": salt_threshold, "num_salts": num_salts,
         "language": language,
     }
+    manifest["doc_id_base"] = doc_id_base
     manifest["lineage"] = {"input_path": input_path or "<dataframe>"}
     if shuffle_partitions is None:
         shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -259,6 +266,10 @@ def build_index(
         )
         docs.write.mode("overwrite").parquet(docs_path)
         offsets, n_docs = partition_offsets(spark.read.parquet(docs_path))
+        # the shifted offsets are the single source of truth: every doc_id
+        # downstream (docs view, posting blobs, block min/max) derives from
+        # them, so segment and base id spaces can never disagree
+        offsets = {k: v + doc_id_base for k, v in offsets.items()}
         _commit_stage(out_dir, manifest, "docs",
                       {"docs": n_docs,
                        "doc_offsets": {str(k): v for k, v in offsets.items()}},

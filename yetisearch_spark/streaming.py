@@ -23,13 +23,10 @@ manifest, so segment builds never collide with base ids.
 
 from __future__ import annotations
 
-import json
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import build as build_mod
 from .build import build_index, load_manifest
 
 
@@ -73,18 +70,11 @@ def append_segment(spark: SparkSession, index_dir: str,
               "salt_threshold": cfg.get("salt_threshold", 100_000),
               "num_salts": cfg.get("num_salts", 16)}
     kwargs.update(build_kwargs)
-    manifest = build_index(spark, transcripts, seg,
-                           input_path=f"<stream epoch {epoch}>", **kwargs)
-    # shift the segment's doc_id space above the base index
-    offsets = manifest["stages"]["docs"]["counters"]["doc_offsets"]
-    shifted = {k: int(v) + base for k, v in offsets.items()}
-    manifest["stages"]["docs"]["counters"]["doc_offsets"] = shifted
-    manifest["doc_id_base"] = base
-    tmp = os.path.join(seg, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, os.path.join(seg, "manifest.json"))
-    return manifest
+    # doc_id_base threads the shift through the build itself, so posting
+    # blobs, block min/max metadata and the docs view all live in the same
+    # (shifted) id space — tombstones and search hits are interchangeable
+    return build_index(spark, transcripts, seg, doc_id_base=base,
+                       input_path=f"<stream epoch {epoch}>", **kwargs)
 
 
 def streaming_index_writer(spark: SparkSession, index_dir: str,
