@@ -15,7 +15,9 @@ def index(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("plan_idx"))
     pdf = generate_transcripts(1000, seed=13)
     build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
-    return SearchIndex(spark, out)
+    # cache_docs=False: plan tests must see the parquet scans, and a cached
+    # docs relation would be substituted into every matching subtree
+    return SearchIndex(spark, out, cache_docs=False)
 
 
 def _plan(df) -> str:
@@ -77,8 +79,23 @@ def test_wholestage_codegen_on_scoring(index):
     plan = _plan(df)
     # '*(n)' markers are WholeStageCodegen spans in treeString output
     assert "*(" in plan
-    # AQE promotes the per-term score joins to broadcast hash joins
-    assert "BroadcastHashJoin" in plan
+    # round-2 scoring shape: contributions union → ONE hash aggregation
+    # shuffle; no join operators at all (the per-slot full_outer chain of
+    # the first design shuffled once per scoring slot)
+    final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert "Join" not in final
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_search_page_runs_single_shuffle_per_query(index):
+    """An AND-of-terms search plan must contain exactly one scoring
+    exchange regardless of term count (scale: shuffles don't grow with
+    query length)."""
+    from yetisearch_spark.query import parse_query
+    df = index.match_scores(parse_query("data process system run check"))
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
 
 
 def test_metadata_phase_never_reads_data_column(index):

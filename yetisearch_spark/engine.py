@@ -25,6 +25,15 @@ from typing import Any, Optional
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .query import SearchIndex, parse_query
+from .rescoring import effective_limit, field_weighted_score
+
+
+def _sort_rows(rows: list[dict], order: list[tuple[str, bool]]) -> None:
+    """In-place stable multi-key sort of row dicts; Spark null ordering
+    (asc = nulls first, desc = nulls last)."""
+    for fld, asc in reversed(order):
+        rows.sort(key=lambda d: (d.get(fld) is not None, d.get(fld)),
+                  reverse=not asc)
 
 
 # ---------------------------------------------------------------------------
@@ -305,20 +314,85 @@ class Engine:
             node = parse_query(q.query)
         scores = idx.match_scores(node)
         docs = apply_filters(idx._docs, q.filters)
-        return docs.join(scores, "doc_id")
+        out = docs.join(scores, "doc_id")
+        out._ys_handles = getattr(scores, "_ys_handles", [])  # type: ignore
+        return out
+
+    @staticmethod
+    def _page_and_total(matched: DataFrame, order: list[tuple[str, bool]],
+                        n: int) -> tuple[list[dict], int]:
+        """ONE Spark action for the serving hot path: the top-n page
+        (TakeOrderedAndProject) unioned with a count branch — the count
+        side reuses the scoring shuffle (ReusedExchange) instead of
+        running a second job. Returns (page row dicts re-sorted driver-side,
+        total match count)."""
+        sort_cols = [F.col(f).asc() if asc else F.col(f).desc()
+                     for f, asc in order]
+        page = (matched.orderBy(*sort_cols).limit(n)
+                .withColumn("_total", F.lit(None).cast("long")))
+        stats = matched.agg(F.count(F.lit(1)).alias("_total"))
+        rows = page.unionByName(stats, allowMissingColumns=True).collect()
+        return Engine._split_union_rows(rows, order)
+
+    @staticmethod
+    def _split_union_rows(rows, order) -> tuple[list[dict], int]:
+        total = 0
+        page_rows: list[dict] = []
+        for r in rows:
+            if r["_total"] is not None:  # the count branch's single row
+                total = int(r["_total"])
+            else:
+                d = r.asDict(recursive=True)
+                d.pop("_total", None)
+                page_rows.append(d)
+        _sort_rows(page_rows, order)
+        return page_rows, total
+
+    @staticmethod
+    def _page_and_total_enriched(scores: DataFrame, docs: DataFrame,
+                                 n: int) -> tuple[list[dict], int]:
+        """Hot serving path (no filters/sort/facets): top-n over the bare
+        (doc_id, score) match set FIRST, then broadcast-join only the page
+        into the doc store (reference J1 shape,
+        src/Storage/SqliteStorage.php:1017-1021) — the full docs table
+        never enters the scoring plan. Still ONE Spark action: the count
+        branch is unioned in and reuses the scoring shuffle."""
+        order = [("score", False), ("doc_id", True)]
+        topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+        page = (docs.join(F.broadcast(topk), "doc_id")
+                .withColumn("_total", F.lit(None).cast("long")))
+        stats = scores.agg(F.count(F.lit(1)).alias("_total"))
+        rows = page.unionByName(stats, allowMissingColumns=True).collect()
+        return Engine._split_union_rows(rows, order)
 
     def search(self, index: str, q: SearchQuery | str) -> dict:
+        """Full search (reference YetiSearch::search → SearchEngine::search
+        → processResults, src/Search/SearchEngine.php:94-272,714-830).
+
+        Serving shape: the standard path runs ONE Spark action (page +
+        total in a single job); fuzzy/boosted paths overfetch
+        effective_limit candidates (R3) and run the reference's row-level
+        post-processing driver-side over ≤2000 rows, exactly where the
+        reference runs it in PHP. Result processing order matches
+        processResults: R2 field-weight rescoring → max over raw scores →
+        min_score on raw scores → fuzzy penalty → normalize by the raw max
+        → re-sort → slice."""
         if isinstance(q, str):
             q = SearchQuery(query=q)
         cache_key = None
         if not q.bypass_cache:
             # K1: engine-level result LRU (TTL 300s, 100 entries —
-            # reference: src/Search/SearchEngine.php:2375-2417)
+            # reference: src/Search/SearchEngine.php:2375-2417). The key
+            # hashes FULL facet/aggregation option dicts and the highlight
+            # length — queries differing only in options must not collide.
             import hashlib
             cache_key = (index, hashlib.md5(repr(
                 (q.query, q.limit, q.offset, q.filters, sorted(q.sort.items()),
-                 q.fuzzy, q.min_score, q.unique_by_route, q.highlight,
-                 sorted(q.facets), sorted(q.aggregations),
+                 q.fuzzy, q.fuzziness, q.min_score, q.unique_by_route,
+                 q.highlight, q.highlight_length,
+                 sorted((k, sorted(v.items())) for k, v in q.facets.items()),
+                 sorted((k, sorted(v.items())) for k, v in q.aggregations.items()),
+                 sorted(q.boost_fields.items()),
                  q.result_fields)).encode()).hexdigest())
             hit = self._cache_get(cache_key)
             if hit is not None:
@@ -326,92 +400,136 @@ class Engine:
         t0 = time.time()
         idx = self.indexes[index]
         node, fuzzy_map, q_tokens = self._compile(index, q)
-        matched = self._matches_with_docs(idx, q, node=node)
-        # one search runs several jobs over the match set (max, count,
-        # page, facets, aggregations) — materialize it once
-        matched = matched.persist()
+        scores = idx.match_scores(node)
+        handles = getattr(scores, "_ys_handles", [])
+        doc_cols = idx._docs.columns
 
-        if q.fuzzy and fuzzy_map and "text" in matched.columns:
-            # R4: fuzzy penalty over the candidate set (reference applies it
-            # per result before normalization, SearchEngine.php:737-756)
-            from .rescoring import fuzzy_penalty
-            base_penalty = self.config["fuzzy_score_penalty"]
-            fmap = dict(fuzzy_map)
-            toks = list(q_tokens)
+        fuzzy_live = bool(q.fuzzy and fuzzy_map and "text" in doc_cols)
+        rescore_live = bool(q.boost_fields)
+        route_live = bool(q.unique_by_route and "route" in doc_cols)
+        persist_matched = bool(q.facets or q.aggregations)
+        # the scoring plan needs the doc store joined in BEFORE top-k only
+        # when full-set semantics depend on doc columns
+        docs_in_set = bool(q.filters) or bool(q.sort) or route_live \
+            or persist_matched
+        matched = apply_filters(idx._docs, q.filters).join(scores, "doc_id") \
+            if docs_in_set else scores
+        persisted_ref = None  # unpersist the EXACT persisted frame, not a
+        # later reassignment of `matched` (derived frames are no-ops)
+        try:
+            if persist_matched:
+                matched = matched.persist()
+                persisted_ref = matched
 
-            def _pen(batches):
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    pdf = pdf.copy()
-                    pens = [fuzzy_penalty(t or "", toks, fmap, base_penalty)
-                            for t in pdf["text"]]
-                    pdf["score"] = [s * (1.0 - p)
-                                    for s, p in zip(pdf["score"], pens)]
-                    yield pdf
-            matched = matched.mapInPandas(_pen, schema=matched.schema)
+            if route_live:
+                # A7 roll-up stays a distributed plan op (the reference
+                # fetches max_results rows and dedups in PHP —
+                # SearchEngine.php:133-137,213-222; a driver-side dedup
+                # does not survive 10^12 docs). Normalization must precede
+                # the roll-up (composite = sum of chunk 0-100 scores), so
+                # this path pays one extra max() job.
+                if q.min_score > 0:
+                    matched = matched.where(F.col("score") >= q.min_score)
+                w_max = matched.agg(F.max("score")).collect()[0][0]
+                if w_max:
+                    matched = matched.withColumn(
+                        "score",
+                        F.round(F.col("score") / F.lit(float(w_max)) * 100.0, 1))
+                matched = self._dedup_by_route(matched)
 
-        # R5: normalize scores to 0-100 by the max within the result set
-        # (reference: src/Search/SearchEngine.php:719-725)
-        w_max = matched.agg(F.max("score")).collect()[0][0]
-        total = None
-        if q.min_score > 0:
-            matched = matched.where(F.col("score") >= q.min_score)  # F6
-        if w_max:
-            matched = matched.withColumn(
-                "score", F.round(F.col("score") / F.lit(float(w_max)) * 100.0, 1))
+            if q.sort:
+                order = [(fld, d.lower() != "desc") for fld, d in q.sort.items()]
+                order.append(("doc_id", True))
+            else:
+                order = [("score", False), ("doc_id", True)]
 
-        if q.unique_by_route and "route" in matched.columns:
-            matched = self._dedup_by_route(matched)
+            # R3: overfetch candidates when driver-side rescoring can
+            # reorder them (reference: src/Storage/SqliteStorage.php:903-913)
+            overfetch = fuzzy_live or rescore_live
+            fetch_n = max(effective_limit(q.limit) if overfetch else 0,
+                          q.offset + q.limit)
+            if docs_in_set:
+                rows, total = self._page_and_total(matched, order, fetch_n)
+            else:
+                rows, total = self._page_and_total_enriched(
+                    matched, idx._docs, fetch_n)
 
-        # sort: relevance default; column sorts via O2
-        if q.sort:
-            order = [F.col(fld).desc() if d.lower() == "desc" else F.col(fld).asc()
-                     for fld, d in q.sort.items()]
-            order.append(F.asc("doc_id"))
-        else:
-            order = [F.desc("score"), F.asc("doc_id")]
+            # ---- driver-side processResults (row-level, ≤ fetch_n rows) ----
+            if rescore_live and not route_live:
+                # R2: field-weighted rescore over the candidate page
+                # (reference: src/Storage/SqliteStorage.php:1186-1233)
+                content_cols = [c for c in q.boost_fields if c in doc_cols]
+                for d in rows:
+                    content = {c: d.get(c) for c in content_cols}
+                    d["score"] = field_weighted_score(
+                        q.query, content, q.boost_fields, float(d["score"]))
+                if not q.sort:
+                    _sort_rows(rows, order)
 
-        total = matched.count()
-        page = matched.orderBy(*order).limit(q.offset + q.limit).collect()
-        page = page[q.offset:]
+            w_max = max((d["score"] for d in rows), default=0.0)
+            if q.min_score > 0 and not route_live:
+                rows = [d for d in rows if d["score"] >= q.min_score]  # F6
 
-        results = []
-        hl_terms = _query_terms_for_highlight(q.query) if q.highlight else []
-        for r in page:
-            d = r.asDict(recursive=True)
-            d.pop("tokens", None)
-            if q.result_fields:
-                # F5: keep only configured result fields
-                # (reference: src/Search/SearchEngine.php:1171-1185)
-                keep = set(q.result_fields) | {"doc_id", "conv_id",
-                                               "turn_idx", "score"}
-                d = {k: v for k, v in d.items() if k in keep}
-            item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
-                    if "conv_id" in d else str(d.get("doc_id")),
-                    "score": d.pop("score"), "document": d}
-            if q.highlight and "text" in d and d["text"]:
-                snippet = extract_snippet(d["text"], hl_terms, q.highlight_length)
-                item["highlights"] = {"text": highlight_terms(snippet, hl_terms)}
-            results.append(item)
+            if fuzzy_live:
+                # R4: fuzzy penalty over the fetched candidates only
+                # (reference penalizes the result page, SearchEngine.php:737-756)
+                from .rescoring import fuzzy_penalty
+                base_penalty = self.config["fuzzy_score_penalty"]
+                for d in rows:
+                    pen = fuzzy_penalty(d.get("text") or "", list(q_tokens),
+                                        dict(fuzzy_map), base_penalty)
+                    d["score"] = d["score"] * (1.0 - pen)
+                if not q.sort:
+                    _sort_rows(rows, order)
 
-        out = {
-            "results": results,
-            "total": total,
-            "count": len(results),
-            "search_time": round(time.time() - t0, 4),
-        }
-        if total == 0 and q.query.strip():
-            # "did you mean" on empty results (reference:
-            # src/Search/SearchEngine.php:246-249)
-            s = self.suggest(index, q.query)
-            if s:
-                out["suggestion"] = s
-        if q.facets:
-            out["facets"] = self.facets(index, q, matched=matched)
-        if q.aggregations:
-            out["aggregations"] = self.aggregations(index, q, matched=matched)
-        matched.unpersist()
+            if w_max and not route_live:
+                # R5: normalize to 0-100 by the max PRE-penalty score
+                # (reference: SearchEngine.php:719-725,758)
+                for d in rows:
+                    d["score"] = round(d["score"] / w_max * 100.0, 1)
+
+            page = rows[q.offset:q.offset + q.limit]
+
+            results = []
+            hl_terms = _query_terms_for_highlight(q.query) if q.highlight else []
+            for d in page:
+                d.pop("tokens", None)
+                if q.result_fields:
+                    # F5: keep only configured result fields
+                    # (reference: src/Search/SearchEngine.php:1171-1185)
+                    keep = set(q.result_fields) | {"doc_id", "conv_id",
+                                                   "turn_idx", "score"}
+                    d = {k: v for k, v in d.items() if k in keep}
+                item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
+                        if "conv_id" in d else str(d.get("doc_id")),
+                        "score": d.pop("score"), "document": d}
+                if q.highlight and d.get("text"):
+                    snippet = extract_snippet(d["text"], hl_terms,
+                                              q.highlight_length)
+                    item["highlights"] = {"text": highlight_terms(snippet,
+                                                                  hl_terms)}
+                results.append(item)
+
+            out = {
+                "results": results,
+                "total": total,
+                "count": len(results),
+                "search_time": round(time.time() - t0, 4),
+            }
+            if total == 0 and q.query.strip():
+                # "did you mean" on empty results (reference:
+                # src/Search/SearchEngine.php:246-249)
+                s = self.suggest(index, q.query)
+                if s:
+                    out["suggestion"] = s
+            if q.facets:
+                out["facets"] = self.facets(index, q, matched=matched)
+            if q.aggregations:
+                out["aggregations"] = self.aggregations(index, q, matched=matched)
+        finally:
+            if persisted_ref is not None:
+                persisted_ref.unpersist()
+            idx.release(handles)
         if cache_key is not None:
             self._cache_put(cache_key, out)
         return out
@@ -467,7 +585,11 @@ class Engine:
         idx = self.indexes[index]
         if not q.query.strip():
             return apply_filters(idx._docs, q.filters).count()
-        return self._matches_with_docs(idx, q).count()
+        matched = self._matches_with_docs(idx, q)
+        try:
+            return matched.count()
+        finally:
+            idx.release(getattr(matched, "_ys_handles", []))
 
     # -- facets / aggregations (A1-A5) ----------------------------------------
 

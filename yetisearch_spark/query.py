@@ -21,6 +21,22 @@ pruning + term predicate pushdown (terms are sorted within bucket files
 so parquet row-group stats prune prefix range scans), decoded in one
 Arrow kernel, then composed with joins/aggregations that Catalyst
 plans. The final top-k is TakeOrderedAndProject (orderBy+limit).
+
+Serving-path shape (round 2 — one shuffle, one planning job, hot cache):
+
+  * decoded postings are cached PER TERM (persisted DataFrames, LRU) —
+    repeated query terms skip the scan+decode entirely.
+  * all scoring slots are unioned as (doc_id, slot, contribution) rows
+    and reduced in ONE hash aggregation; FTS5's in-expression-order
+    float accumulation is preserved by folding
+    array_sort(collect_list(struct(slot, c))) with an ordered
+    aggregate() (adding 0.0 for absent slots cannot change an IEEE sum
+    of non-negative contributions, so matched-slot-only order-summing
+    is float-identical to FTS5's all-slots loop).
+  * boolean qualification (AND/OR/NOT/NEAR trees) is a predicate over
+    collect_set(slot) — no per-child join chain.
+  * every multi-token phrase/prefix df is counted in ONE batched job
+    (union of tagged match tables → groupBy(tag).count()).
 """
 
 from __future__ import annotations
@@ -30,7 +46,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
@@ -293,6 +309,14 @@ _DECODED_SCHEMA = StructType([
     StructField("positions", ArrayType(IntegerType()), True),
 ])
 
+# one row per (doc, phrase-like node): the match-table shape
+_MATCH_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("tf", IntegerType(), False),
+    StructField("doc_len", IntegerType(), False),
+    StructField("positions", ArrayType(IntegerType()), True),
+])
+
 
 def _decode_factory(with_positions: bool):
     def decode(batches):
@@ -382,7 +406,16 @@ def _near_trim(instances: list[np.ndarray], plens: list[int], distance: int):
 class SearchIndex:
     """Query-side facade over an index directory built by build_index."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    #: decoded-postings LRU: hot query terms keep their decoded posting
+    #: DataFrames persisted across queries (the serving analog of the
+    #: reference's prepared-statement + page cache, K4/K5 family)
+    DECODED_CACHE_MAX = 128
+    #: bound on live persisted per-query match tables for callers that
+    #: never call release() (engine does; ad-hoc users are still bounded)
+    HANDLE_GROUPS_MAX = 16
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_postings: bool = True, cache_docs: bool = True):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
@@ -394,34 +427,93 @@ class SearchIndex:
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._docs = load_docs(spark, index_dir, self.manifest)
+        if cache_docs:
+            # serving replicas pin the doc store (MEMORY_AND_DISK — spills,
+            # never OOMs); the payload join then reads memory, not parquet
+            self._docs = self._docs.persist()
+        self._docs_cached = cache_docs
         self._vocab_cache: dict | None | bool = None
+        self._cache_postings = cache_postings
+        from collections import OrderedDict
+        self._decoded_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._match_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._df_count_cache: dict[tuple, int] = {}
+        self._handle_groups: list[list[DataFrame]] = []
+
+    def close(self) -> None:
+        """Unpersist every cached frame this index pinned."""
+        if self._docs_cached:
+            self._docs.unpersist()
+        for df in self._decoded_cache.values():
+            df.unpersist()
+        self._decoded_cache.clear()
+        for df in self._match_cache.values():
+            df.unpersist()
+        self._match_cache.clear()
+        self._df_count_cache.clear()
+        for g in self._handle_groups:
+            for h in g:
+                h.unpersist()
+        self._handle_groups.clear()
 
     # -- postings access ----------------------------------------------------
 
-    def _read_postings(self, terms: Sequence[str], prefixes: Sequence[str],
-                       with_positions: bool) -> Optional[DataFrame]:
-        parts = []
-        if terms:
-            # bucket partition pruning: resolve the exact bucket list
-            # driver-side (same xxhash64 as the build) so only those
-            # partition directories are scanned at all.
-            buckets = self._buckets_for_terms(terms)
-            p = (self._postings
-                 .where(F.col("bucket").isin(buckets))
-                 .where(F.col("term").isin(list(set(terms)))))
-            parts.append(p)
-        for pre in prefixes:
-            hi = pre[:-1] + chr(ord(pre[-1]) + 1) if pre else pre
-            parts.append(self._postings.where(
-                (F.col("term") >= pre) & (F.col("term") < hi)))
-        if not parts:
-            return None
-        df = parts[0]
-        for other in parts[1:]:
-            df = df.unionByName(other)
-        decoded = df.select("term", "data").mapInPandas(
-            _decode_factory(with_positions), schema=_DECODED_SCHEMA)
-        return decoded
+    def _cached_decoded(self, key: tuple, factory) -> DataFrame:
+        """Per-term/prefix decoded-postings cache (persisted, LRU)."""
+        if not self._cache_postings:
+            return factory()
+        hit = self._decoded_cache.get(key)
+        if hit is not None:
+            self._decoded_cache.move_to_end(key)
+            return hit
+        df = factory().persist()
+        self._decoded_cache[key] = df
+        while len(self._decoded_cache) > self.DECODED_CACHE_MAX:
+            _, old = self._decoded_cache.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def _decoded_for_term(self, term: str) -> DataFrame:
+        """Decoded postings (with positions) for ONE term; bucket partition
+        pruning + term predicate pushdown reach the parquet scan."""
+        def factory():
+            from .xxhash64 import bucket_of
+            b = bucket_of(term, self.num_buckets)
+            return (self._postings
+                    .where(F.col("bucket") == b)
+                    .where(F.col("term") == term)
+                    .select("term", "data")
+                    .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
+        return self._cached_decoded(("t", term), factory)
+
+    def _decoded_for_prefix(self, prefix: str) -> DataFrame:
+        def factory():
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            return (self._postings
+                    .where((F.col("term") >= prefix) & (F.col("term") < hi))
+                    .select("term", "data")
+                    .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
+        return self._cached_decoded(("p", prefix), factory)
+
+    def _empty_match(self) -> DataFrame:
+        return self.spark.createDataFrame([], _MATCH_SCHEMA)
+
+    # -- persisted per-query handles ------------------------------------------
+
+    def _register_handles(self, handles: list[DataFrame]) -> None:
+        if not handles:
+            return
+        self._handle_groups.append(handles)
+        while len(self._handle_groups) > self.HANDLE_GROUPS_MAX:
+            for h in self._handle_groups.pop(0):
+                h.unpersist()
+
+    def release(self, handles: list[DataFrame]) -> None:
+        """Unpersist one query's match tables (engine calls this after the
+        page/facets jobs complete — the leak fix for long-lived serving)."""
+        for h in handles or []:
+            h.unpersist()
+        self._handle_groups = [g for g in self._handle_groups if g is not handles]
 
     def _buckets_for_terms(self, terms: Sequence[str]) -> list[int]:
         """pmod(xxhash64(term), num_buckets) — computed driver-side with a
@@ -460,13 +552,19 @@ class SearchIndex:
 
     # -- phrase match tables -------------------------------------------------
 
-    def _phrase_match(self, phrase: Phrase, decoded: DataFrame) -> DataFrame:
+    def _term_match(self, term: str, in_vocab: bool) -> DataFrame:
+        if not in_vocab:
+            return self._empty_match()
+        return (self._decoded_for_term(term)
+                .select("doc_id", "tf", "doc_len", "positions"))
+
+    def _phrase_match(self, phrase: Phrase) -> DataFrame:
         """→ (doc_id, tf, doc_len, positions=phrase instance starts)."""
         terms = phrase.terms
-        if len(terms) == 1:
-            return (decoded.where(F.col("term") == terms[0])
-                    .select("doc_id", "tf", "doc_len", "positions"))
-        sub = decoded.where(F.col("term").isin(list(set(terms))))
+        sub = None
+        for t in sorted(set(terms)):
+            d = self._decoded_for_term(t)
+            sub = d if sub is None else sub.unionByName(d)
         grouped = (sub.groupBy("doc_id")
                    .agg(F.first("doc_len").alias("doc_len"),
                         F.map_from_entries(
@@ -498,10 +596,8 @@ class SearchIndex:
                     yield pd.DataFrame(rows, columns=["doc_id", "tf", "doc_len", "positions"])
         return grouped.mapInPandas(compute, schema=out_schema)
 
-    def _prefix_match(self, node: PrefixNode, decoded: DataFrame) -> DataFrame:
-        hi = node.prefix[:-1] + chr(ord(node.prefix[-1]) + 1)
-        return (decoded
-                .where((F.col("term") >= node.prefix) & (F.col("term") < hi))
+    def _prefix_match(self, node: PrefixNode) -> DataFrame:
+        return (self._decoded_for_prefix(node.prefix)
                 .groupBy("doc_id")
                 .agg(F.sum("tf").cast("int").alias("tf"),
                      F.first("doc_len").alias("doc_len"))
@@ -546,117 +642,171 @@ class SearchIndex:
     def _plan(self, node):
         """Build match tables for a query tree.
 
-        Returns (slots, phrase_tables, phrase_df, near_tables, decoded) where
-        slots is the in-order list of scoring slots: ("phrase", node) or
-        ("near", near_node, member_idx). FTS5 scores every expression slot
-        independently (a phrase appearing standalone AND inside a NEAR
-        contributes twice, the NEAR copy with trimmed tf)."""
+        Returns (slots, phrase_tables, phrase_df, near_tables, handles)
+        where slots is the in-order list of scoring slots: ("phrase", node)
+        or ("near", near_node, member_idx). FTS5 scores every expression
+        slot independently (a phrase appearing standalone AND inside a NEAR
+        contributes twice, the NEAR copy with trimmed tf).
+
+        Exactly ONE planning job runs, and only for queries containing
+        multi-token phrases or prefixes: all their dfs are counted in a
+        single union+groupBy (the per-phrase count() jobs of the first
+        design were a per-query scale-killer). ``handles`` are the
+        persisted match tables — callers release() them when done."""
         slots: list = []
         _collect_slots(node, slots)
 
         terms: set[str] = set()
         prefixes: set[str] = set()
         _collect_terms(node, terms, prefixes)
-
-        need_positions = any(
-            (isinstance(p, Phrase) and len(p.terms) > 1)
-            for p in _unique_phraselike(node)) or _has_near(node)
-        decoded = self._read_postings(sorted(terms), sorted(prefixes),
-                                      with_positions=need_positions)
-        if decoded is None:
-            return slots, {}, {}, {}, None
-        decoded = decoded.persist()
-
         term_stats = self.term_stats_for(sorted(terms))
+
+        handles: list[DataFrame] = []
+
+        def materialize(key: tuple, factory):
+            """Persisted LRU for phrase/prefix/NEAR match tables (hot
+            serving: a repeated phrase skips recomputation AND its
+            df-count job). With caching off, per-query persist+release."""
+            if not self._cache_postings:
+                mt = factory().persist()
+                handles.append(mt)
+                return mt
+            hit = self._match_cache.get(key)
+            if hit is not None:
+                self._match_cache.move_to_end(key)
+                return hit
+            mt = factory().persist()
+            self._match_cache[key] = mt
+            while len(self._match_cache) > self.DECODED_CACHE_MAX:
+                k, old = self._match_cache.popitem(last=False)
+                old.unpersist()
+                self._df_count_cache.pop(k, None)
+            return mt
 
         phrase_tables: dict = {}
         phrase_df: dict = {}
+        pending: list = []   # (node, cache_key) needing the batched count job
         for p in _unique_phraselike(node):
             if isinstance(p, PrefixNode):
-                mt = self._prefix_match(p, decoded).persist()
-                phrase_tables[p] = mt
-                phrase_df[p] = mt.count()
+                key = ("pref", p.prefix)
+                phrase_tables[p] = materialize(key, lambda p=p: self._prefix_match(p))
             elif len(p.terms) == 1:
-                phrase_tables[p] = self._phrase_match(p, decoded)
+                in_vocab = p.terms[0] in term_stats
+                phrase_tables[p] = self._term_match(p.terms[0], in_vocab)
                 phrase_df[p] = term_stats.get(p.terms[0], (0, 0))[0]
+                continue
             elif any(t not in term_stats for t in p.terms):
                 # a constituent term is out-of-vocabulary → the phrase can
-                # never match; skip the df-count job entirely
-                phrase_tables[p] = self._phrase_match(p, decoded)
+                # never match; no table, no df job
+                phrase_tables[p] = self._empty_match()
                 phrase_df[p] = 0
+                continue
             else:
-                mt = self._phrase_match(p, decoded).persist()
-                phrase_tables[p] = mt
-                phrase_df[p] = mt.count()  # standalone df (FTS5 xQueryPhrase)
+                key = ("ph", p.terms)
+                phrase_tables[p] = materialize(key, lambda p=p: self._phrase_match(p))
+            if key in self._df_count_cache:
+                phrase_df[p] = self._df_count_cache[key]
+            else:
+                pending.append((p, key))
+
+        if pending:
+            # ONE batched job counts every uncached phrase/prefix df
+            # (FTS5 xQueryPhrase standalone df)
+            batched = None
+            for i, (p, _) in enumerate(pending):
+                part = phrase_tables[p].select(F.lit(i).alias("pi"))
+                batched = part if batched is None else batched.unionByName(part)
+            counts = {int(r["pi"]): int(r["count"])
+                      for r in batched.groupBy("pi").count().collect()}
+            for i, (p, key) in enumerate(pending):
+                phrase_df[p] = counts.get(i, 0)
+                if self._cache_postings:
+                    self._df_count_cache[key] = phrase_df[p]
 
         near_tables: dict = {}
         for nr in _unique_nears(node):
-            near_tables[nr] = self._near_table(nr, phrase_tables).persist()
+            key = ("nr", tuple(p.terms for p in nr.phrases), nr.distance)
+            near_tables[nr] = materialize(
+                key, lambda nr=nr: self._near_table(nr, phrase_tables))
 
-        return slots, phrase_tables, phrase_df, near_tables, decoded
+        self._register_handles(handles)
+        return slots, phrase_tables, phrase_df, near_tables, handles
+
+    def _contrib_expr(self, tf_col, idf: float):
+        k1, b = BM25_K1, BM25_B
+        tf = F.col(tf_col).cast("double")
+        return (F.lit(idf) * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double")
+                              / self.avgdl)))
 
     def match_scores(self, node) -> DataFrame:
-        """→ DataFrame (doc_id long, score double) for the query tree."""
+        """→ DataFrame (doc_id long, score double) for the query tree.
+
+        ONE shuffle: per-slot contribution rows (doc_id, slot, c) are
+        unioned and hash-aggregated; the ordered fold over
+        array_sort(collect_list(struct(slot, c))) reproduces FTS5's
+        expression-order float accumulation exactly (absent slots add 0.0,
+        which cannot perturb an IEEE sum of positive terms). Boolean
+        qualification evaluates the query tree against collect_set(slot)
+        instead of joining per-child doc sets.
+
+        The returned frame carries ``_ys_handles`` — persisted per-query
+        match tables the caller should pass to release() after its jobs
+        finish (the engine does; unreleased handles are bounded by the
+        HANDLE_GROUPS_MAX registry)."""
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if node is None:
             return empty
-        slots, phrase_tables, phrase_df, near_tables, decoded = self._plan(node)
-        if decoded is None or not slots:
+        slots, phrase_tables, phrase_df, near_tables, handles = self._plan(node)
+        if not slots:
             return empty
 
-        k1, b = BM25_K1, BM25_B
-        avgdl = self.avgdl
+        # no-shuffle fast path: every slot sources from ONE match table
+        # (single phrase/prefix, or one NEAR group) — score is a plain
+        # projection, qualification is row existence. Saves the whole
+        # aggregation stage on the most common query shapes.
+        if isinstance(node, (Phrase, PrefixNode)):
+            idf = self.idf(phrase_df[node])
+            out = phrase_tables[node].select(
+                "doc_id", self._contrib_expr("tf", idf).alias("score"))
+            out._ys_handles = handles  # type: ignore[attr-defined]
+            return out
+        if isinstance(node, Near):
+            score = None
+            for m in range(len(node.phrases)):
+                c = self._contrib_expr(f"tf_{m}",
+                                       self.idf(phrase_df[node.phrases[m]]))
+                score = c if score is None else score + c
+            out = near_tables[node].select("doc_id", score.alias("score"))
+            out._ys_handles = handles  # type: ignore[attr-defined]
+            return out
 
-        def contrib_expr(tf_col, idf):
-            tf = F.col(tf_col).cast("double")
-            return (F.lit(idf) * tf * (k1 + 1.0)
-                    / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / avgdl)))
-
-        # one contribution table per slot, summed in slot order (FTS5
-        # accumulates per-phrase scores in expression order)
-        scored = None
+        contribs = None
         for i, slot in enumerate(slots):
             if slot[0] == "phrase":
                 p = slot[1]
                 idf = self.idf(phrase_df[p])
-                contrib = phrase_tables[p].select(
-                    "doc_id", contrib_expr("tf", idf).alias(f"c{i}"))
+                branch = phrase_tables[p].select(
+                    "doc_id", F.lit(i).alias("slot"),
+                    self._contrib_expr("tf", idf).alias("c"))
             else:
                 _, nr, member = slot
                 idf = self.idf(phrase_df[nr.phrases[member]])
-                contrib = near_tables[nr].select(
-                    "doc_id", contrib_expr(f"tf_{member}", idf).alias(f"c{i}"))
-            scored = contrib if scored is None else scored.join(contrib, "doc_id", "full_outer")
+                branch = near_tables[nr].select(
+                    "doc_id", F.lit(i).alias("slot"),
+                    self._contrib_expr(f"tf_{member}", idf).alias("c"))
+            contribs = branch if contribs is None else contribs.unionByName(branch)
 
-        score_expr = None
-        for i in range(len(slots)):
-            c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
-            score_expr = c if score_expr is None else score_expr + c
-        scored = scored.select("doc_id", score_expr.alias("score"))
-
-        qualifying = self._qualify(node, phrase_tables, near_tables)
-        return qualifying.join(scored, "doc_id")
-
-    def _qualify(self, node, phrase_tables: dict, near_tables: dict) -> DataFrame:
-        if isinstance(node, (Phrase, PrefixNode)):
-            return phrase_tables[node].select("doc_id")
-        if isinstance(node, Near):
-            return near_tables[node].select("doc_id")
-        if isinstance(node, And):
-            out = self._qualify(node.children[0], phrase_tables, near_tables)
-            for c in node.children[1:]:
-                out = out.join(self._qualify(c, phrase_tables, near_tables), "doc_id")
-            return out
-        if isinstance(node, Or):
-            out = self._qualify(node.children[0], phrase_tables, near_tables)
-            for c in node.children[1:]:
-                out = out.unionByName(self._qualify(c, phrase_tables, near_tables))
-            return out.distinct()
-        if isinstance(node, Not):
-            inc = self._qualify(node.include, phrase_tables, near_tables)
-            exc = self._qualify(node.exclude, phrase_tables, near_tables)
-            return inc.join(exc, "doc_id", "left_anti")
-        raise ValueError(f"unknown node {node!r}")
+        ordered_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
+            F.lit(0.0), lambda acc, x: acc + x["c"])
+        scored = (contribs.groupBy("doc_id")
+                  .agg(ordered_sum.alias("score"),
+                       F.collect_set("slot").alias("_slots")))
+        out = (scored.where(_qual_expr(node, [0]))
+               .select("doc_id", "score"))
+        out._ys_handles = handles  # type: ignore[attr-defined]
+        return out
 
     def search(self, query, k: int = 10, filters: dict | None = None,
                with_docs: bool = False) -> DataFrame:
@@ -666,6 +816,7 @@ class SearchIndex:
         """
         node = parse_query(query) if isinstance(query, str) else query
         scores = self.match_scores(node)
+        handles = getattr(scores, "_ys_handles", [])
         if filters:
             docs = self._docs
             for col, val in filters.items():
@@ -678,6 +829,7 @@ class SearchIndex:
             # src/Storage/SqliteStorage.php:1017-1021)
             topk = (self._docs.join(F.broadcast(topk), "doc_id")
                     .orderBy(F.desc("score"), F.asc("doc_id")))
+        topk._ys_handles = handles  # type: ignore[attr-defined]
         return topk
 
     def count(self, query) -> int:
@@ -685,10 +837,56 @@ class SearchIndex:
         node = parse_query(query) if isinstance(query, str) else query
         if node is None:
             return 0
-        slots, phrase_tables, _, near_tables, decoded = self._plan(node)
-        if decoded is None or not slots:
+        slots, phrase_tables, _, near_tables, handles = self._plan(node)
+        if not slots:
             return 0
-        return self._qualify(node, phrase_tables, near_tables).count()
+        try:
+            contribs = None
+            for i, slot in enumerate(slots):
+                t = (phrase_tables[slot[1]] if slot[0] == "phrase"
+                     else near_tables[slot[1]])
+                branch = t.select("doc_id", F.lit(i).alias("slot"))
+                contribs = branch if contribs is None else contribs.unionByName(branch)
+            return (contribs.groupBy("doc_id")
+                    .agg(F.collect_set("slot").alias("_slots"))
+                    .where(_qual_expr(node, [0]))
+                    .count())
+        finally:
+            self.release(handles)
+
+
+def _qual_expr(node, counter: list) -> Column:
+    """Boolean qualification over the aggregated ``_slots`` set — walks the
+    tree in the SAME order as _collect_slots so slot ids line up.
+
+    One doc qualifies iff the boolean structure holds over which slots
+    produced contribution rows (a NEAR's member slots all come from the
+    near table, so its first member slot stands for the whole group)."""
+    if isinstance(node, (Phrase, PrefixNode)):
+        i = counter[0]
+        counter[0] += 1
+        return F.array_contains(F.col("_slots"), i)
+    if isinstance(node, Near):
+        i = counter[0]
+        counter[0] += len(node.phrases)
+        return F.array_contains(F.col("_slots"), i)
+    if isinstance(node, And):
+        out = None
+        for c in node.children:
+            e = _qual_expr(c, counter)
+            out = e if out is None else (out & e)
+        return out
+    if isinstance(node, Or):
+        out = None
+        for c in node.children:
+            e = _qual_expr(c, counter)
+            out = e if out is None else (out | e)
+        return out
+    if isinstance(node, Not):
+        inc = _qual_expr(node.include, counter)
+        exc = _qual_expr(node.exclude, counter)
+        return inc & ~exc
+    raise ValueError(f"unknown node {node!r}")
 
 
 def _collect_slots(node, slots: list) -> None:
@@ -751,11 +949,3 @@ def _unique_nears(node) -> list:
     return out
 
 
-def _has_near(node) -> bool:
-    if isinstance(node, Near):
-        return True
-    if isinstance(node, (And, Or)):
-        return any(_has_near(c) for c in node.children)
-    if isinstance(node, Not):
-        return _has_near(node.include) or _has_near(node.exclude)
-    return False
