@@ -80,3 +80,61 @@ def test_missing_term(index):
     assert got == []
     got2, _ = _pruned(index, '"zzznotaterm" AND "data"')
     assert got2 == []
+
+
+def test_spark_phase1_identical(index):
+    """driver_cap=0 forces the distributed phase-1 (no metadata collect);
+    results must still be exactly the full-path results for every shape."""
+    terms, _ = _common_terms(index)
+    queries = [f'"{terms[0]}"',
+               f'"{terms[0]}" AND "{terms[1]}"',
+               f'"{terms[0]}" OR "{terms[2]}" OR "{terms[3]}"']
+    for q in queries:
+        df = pruned_topk(index, q, k=10, driver_cap=0)
+        got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+        assert got == _exact(index, q), q
+
+
+def test_spark_phase1_never_collects_metadata(spark, index, monkeypatch):
+    """Above driver_cap, phase 1 must not collect block metadata — the
+    survivor set stays a Spark plan joined into the scan."""
+    from yetisearch_spark import wand as wand_mod
+
+    def boom(*a, **k):
+        raise AssertionError("driver selection ran above the cap")
+
+    monkeypatch.setattr(wand_mod, "_driver_select", boom)
+    terms, _ = _common_terms(index)
+    df = pruned_topk(index, f'"{terms[0]}"', k=10, driver_cap=0)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+    assert got == _exact(index, f'"{terms[0]}"')
+
+
+def test_spark_selection_prunes_synthetic_head_term(spark):
+    """Synthetic head term with 120k block-metadata rows (≈15M docs):
+    the Spark-side selection must (a) stay lazy, (b) select exactly the
+    blocks with block_max ≥ the k-th largest max, (c) prune almost all
+    blocks."""
+    from pyspark.sql import functions as F
+    from yetisearch_spark.wand import _spark_select
+
+    n_blocks = 120_000
+    # deterministic pseudo-random block maxima in (0, 2.2]
+    meta = (spark.range(n_blocks)
+            .select(F.lit("head").alias("term"),
+                    (F.col("id") * 128).alias("min_doc"),
+                    (F.col("id") * 128 + 127).alias("max_doc"),
+                    F.lit(128).alias("n_docs"),
+                    (F.pmod(F.xxhash64(F.col("id")), F.lit(100_000))
+                     .cast("double") / 100_000.0 * 2.2)
+                    .alias("block_max_norm")))
+    full_terms, sel = _spark_select(meta, ["head"], {"head": 1.0},
+                                    {"head": n_blocks}, "single", k=10)
+    assert full_terms == []
+    n_sel = sel.count()
+    assert 10 <= n_sel < n_blocks // 100  # pruned >99% of blocks
+    # exactness of the rule: selected == blocks with bm >= 10th largest
+    top10 = (meta.orderBy(F.desc("block_max_norm")).limit(10)
+             .agg(F.min("block_max_norm")).collect()[0][0])
+    want = meta.where(F.col("block_max_norm") >= top10).count()
+    assert n_sel == want

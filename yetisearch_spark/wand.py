@@ -7,39 +7,60 @@ index:
   phase 1 (metadata only): read just the per-block metadata columns
   (term, min_doc, max_doc, n_docs, block_max_norm) for the query terms —
   parquet column pruning means the `data` bytes are never touched.
-  Driver-side, compute per-block score upper bounds (idf · block_max)
-  and derive the set of blocks that can possibly contribute to the
-  top-k (exact, not heuristic — see per-shape rules below).
+  Compute per-block score upper bounds (idf · block_max) and derive the
+  set of blocks that can possibly contribute to the top-k (exact, not
+  heuristic — see per-shape rules below).
 
-  phase 2: decode ONLY the surviving blocks (pushdown on (term,
-  min_doc)) and score exactly through the normal DataFrame path.
+  phase 2: decode ONLY the surviving blocks — the survivor set reaches
+  the postings scan as a (term, min_doc) semi-join (broadcast when
+  small), NEVER as a driver-materialized literal list — and score
+  exactly through the union + ordered-aggregate path.
 
-Shapes covered exactly:
-  * single term: sort blocks by block_max desc; take blocks until the
-    k-th best guaranteed score ≥ the best possible score of any
-    remaining block.
-  * AND of terms: candidate docs must appear in blocks of the rarest
-    term; other terms' blocks prune to doc-range overlaps with those.
-  * OR of terms: per-doc upper bound = Σ overlapping block maxima;
-    select blocks by descending ub until the threshold argument holds.
+Phase 1 has two implementations, chosen by a block-count estimate that
+is derived driver-side from term_stats (df / block_size — zero jobs):
+
+  * driver selection (estimated blocks ≤ driver_cap, default 50k): the
+    exact small-scale algorithms below run on collected metadata. The
+    cap bounds driver memory to a few MB.
+  * Spark selection (above the cap — head terms at 10^12 docs have
+    ~10^8 blocks): selection itself is a Spark plan.
+      - single term: s_k ≥ idf·θ where θ = k-th largest block_max
+        (every block's max is attained by a distinct doc, blocks of one
+        term partition its docs), so blocks with block_max < θ cannot
+        hold a top-k doc. θ comes from orderBy+limit(k)+agg — a
+        TakeOrderedAndProject, no global window, no collect.
+      - OR of terms: θ = (k·T)-th largest ub guarantees s_k ≥ θ
+        (k·T selected blocks cover ≥ k distinct docs); any doc whose
+        every block has ub < θ/T scores < θ ≤ s_k. Select
+        S0 = {ub ≥ θ/T}, then pull in every block range-overlapping an
+        S0 block so partially-covered top-k docs score exactly
+        (a top-k doc has ≥1 block in S0, and its other blocks overlap
+        that block's doc range). Pull-in is a broadcast range join
+        against the small S0 range list.
+      - AND of terms: candidates live in the rarest term's blocks; the
+        rare term keeps ALL its blocks (a term-equality predicate, no
+        block list at all) and other terms keep blocks overlapping a
+        rare range (broadcast range join). If even the rare term's
+        block list is too large to broadcast, pruning degrades to
+        decoding all blocks of the query terms — still exact, still no
+        driver collect (at that density block pruning buys little
+        anyway).
 
 Anything else (phrases, NEAR, filters) falls back to the exact full
-path in query.SearchIndex. Block metadata per query term is ≤ df/128
-rows — at 10^12 docs a worst-case head term is ~10^8 blocks, which is
-why phase 1 itself stays a Spark job with only the final pruned
-block-list collected when small, or pushed down as a range predicate
-when not.
+path in query.SearchIndex.
 """
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .postings import BM25_K1, BM25_B
 from .query import And, Phrase, SearchIndex, parse_query
+
+#: phase-1 metadata rows the driver may collect (≈ a few MB)
+DRIVER_CAP = 50_000
+#: block ranges we are willing to broadcast for the range-overlap join
+RANGE_BCAST_CAP = 200_000
 
 
 def _is_simple(node) -> tuple[bool, list[str], str]:
@@ -56,7 +77,8 @@ def _is_simple(node) -> tuple[bool, list[str], str]:
     return False, [], ""
 
 
-def pruned_topk(index: SearchIndex, query, k: int = 10) -> DataFrame:
+def pruned_topk(index: SearchIndex, query, k: int = 10,
+                driver_cap: int = DRIVER_CAP) -> DataFrame:
     """Top-k with block-max pruning; falls back to index.search for
     unsupported shapes. Results are exactly index.search(query, k)."""
     node = parse_query(query) if isinstance(query, str) else query
@@ -68,21 +90,98 @@ def pruned_topk(index: SearchIndex, query, k: int = 10) -> DataFrame:
     stats = index.term_stats_for(terms)
     if shape == "and" and any(t not in stats for t in terms):
         return index.spark.createDataFrame([], "doc_id long, score double")
-    idf = {t: index.idf(stats.get(t, (0, 0))[0]) for t in terms}
+    terms = [t for t in terms if t in stats]
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    idf = {t: index.idf(stats[t][0]) for t in terms}
+    block_size = int(index.manifest.get("config", {}).get("block_size", 128))
+    est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
 
-    # -- phase 1: block metadata (data column never read) ------------------
     buckets = index._buckets_for_terms(terms)
     meta = (index._postings
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(terms))
-            .select("term", "min_doc", "max_doc", "n_docs", "block_max_norm")
-            .collect())
-    if not meta:
+            .select("term", "min_doc", "max_doc", "n_docs", "block_max_norm"))
+
+    prune_stats = None
+    if sum(est_blocks.values()) <= driver_cap:
+        full_terms, selected, meta_counts = _driver_select(
+            meta, terms, stats, idf, shape, k)
+        if not selected and not full_terms:
+            return index.spark.createDataFrame([], "doc_id long, score double")
+        sel_df = None
+        if selected:
+            sel_df = F.broadcast(index.spark.createDataFrame(
+                sorted(selected), "term string, min_doc long"))
+        n_total = sum(meta_counts.values())
+        n_sel = len(selected) + sum(meta_counts.get(t, 0)
+                                    for t in full_terms)
+        prune_stats = {"blocks_total": n_total, "blocks_decoded": n_sel}
+    else:
+        full_terms, sel_df = _spark_select(meta, terms, idf, est_blocks,
+                                           shape, k)
+
+    base = (index._postings
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms)))
+    parts = []
+    if full_terms:
+        parts.append(base.where(F.col("term").isin(list(full_terms)))
+                     .select("term", "data"))
+    if sel_df is not None:
+        parts.append(base.join(sel_df, ["term", "min_doc"], "left_semi")
+                     .select("term", "data"))
+    if not parts:
         return index.spark.createDataFrame([], "doc_id long, score double")
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p)
+
+    from .query import _DECODED_SCHEMA, _decode_factory
+    pruned = src.mapInPandas(_decode_factory(False), schema=_DECODED_SCHEMA)
+
+    # phase 2 scoring: same union + single-aggregation shape as the exact
+    # path (one shuffle regardless of term count)
+    contribs = None
+    for i, t in enumerate(terms):
+        branch = (pruned.where(F.col("term") == t)
+                  .select("doc_id", F.lit(i).alias("slot"),
+                          index._contrib_expr("tf", idf[t]).alias("c")))
+        contribs = branch if contribs is None else contribs.unionByName(branch)
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
+        F.lit(0.0), lambda acc, x: acc + x["c"])
+    scored = (contribs.groupBy("doc_id")
+              .agg(ordered_sum.alias("score"),
+                   F.collect_set("slot").alias("_slots")))
+    if shape == "and":
+        qual = None
+        for i in range(len(terms)):
+            e = F.array_contains(F.col("_slots"), i)
+            qual = e if qual is None else (qual & e)
+        scored = scored.where(qual)
+    out = (scored.select("doc_id", "score")
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    out._pruning_stats = prune_stats  # type: ignore[attr-defined]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver-side selection (small metadata; bounded by driver_cap)
+# ---------------------------------------------------------------------------
+
+def _driver_select(meta: DataFrame, terms, stats, idf, shape, k):
+    """Collect ≤ driver_cap metadata rows and run the exact selection
+    algorithms locally.
+    → (full_terms, selected {(term, min_doc)}, per-term block counts)."""
+    rows = meta.collect()
     by_term: dict[str, list] = {t: [] for t in terms}
-    for r in meta:
+    for r in rows:
         by_term[r["term"]].append((r["min_doc"], r["max_doc"],
                                    r["n_docs"], r["block_max_norm"]))
+    meta_counts = {t: len(v) for t, v in by_term.items()}
+    if not rows:
+        return [], set(), meta_counts
 
     selected: dict[str, set] = {t: set() for t in terms}
 
@@ -124,7 +223,6 @@ def pruned_topk(index: SearchIndex, query, k: int = 10) -> DataFrame:
         T = len(terms)
         selected_ubs: list[float] = []
         remaining_max = {t: 0.0 for t in terms}
-        # suffix maxima of unselected ubs per term
         for i, (ub, t, b) in enumerate(all_blocks):
             remaining_max[t] = max(remaining_max[t], ub)
         theta = 0.0
@@ -135,8 +233,6 @@ def pruned_topk(index: SearchIndex, query, k: int = 10) -> DataFrame:
                 break
             selected[t].add((b[0], b[1]))
             selected_ubs.append(ub)
-            # recompute t's max unselected ub lazily (list is ub-desc, so
-            # it's the next unselected block of t — conservative: keep ub)
             remaining_max[t] = ub
             if len(selected_ubs) >= k * T:
                 theta = selected_ubs[k * T - 1]
@@ -155,51 +251,69 @@ def pruned_topk(index: SearchIndex, query, k: int = 10) -> DataFrame:
                     if j > 0 and run_max[j - 1] >= mn:
                         selected[t].add((mn, mx))
 
-    # -- phase 2: decode only surviving blocks -----------------------------
-    cond = None
-    n_blocks_total = sum(len(v) for v in by_term.values())
-    n_selected = sum(len(v) for v in selected.values())
-    for t in terms:
-        if not selected[t]:
-            continue
-        mins = sorted(mn for mn, _ in selected[t])
-        c = (F.col("term") == t) & F.col("min_doc").isin(mins)
-        cond = c if cond is None else (cond | c)
-    if cond is None:
-        return index.spark.createDataFrame([], "doc_id long, score double")
+    out = {(t, mn) for t in terms for (mn, _mx) in selected[t]}
+    return [], out, meta_counts
 
-    from .query import _DECODED_SCHEMA, _decode_factory
-    pruned = (index._postings
-              .where(F.col("bucket").isin(buckets))
-              .where(F.col("term").isin(terms))
-              .where(cond)
-              .select("term", "data")
-              .mapInPandas(_decode_factory(False), schema=_DECODED_SCHEMA))
 
-    k1, b_ = BM25_K1, BM25_B
-    avgdl = index.avgdl
-    contrib = None
-    for i, t in enumerate(terms):
-        tf = F.col("tf").cast("double")
-        c = (pruned.where(F.col("term") == t)
-             .select("doc_id",
-                     (F.lit(idf[t]) * tf * (k1 + 1.0)
-                      / (tf + k1 * (1.0 - b_ + b_ * F.col("doc_len")
-                                    .cast("double") / avgdl))).alias(f"c{i}")))
-        contrib = c if contrib is None else contrib.join(c, "doc_id", "full_outer")
-    score = None
-    qual = None
-    for i in range(len(terms)):
-        col = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
-        score = col if score is None else score + col
-        present = F.col(f"c{i}").isNotNull()
-        qual = present if qual is None else (
-            (qual & present) if shape == "and" else (qual | present))
-    out = (contrib.where(qual).select("doc_id", score.alias("score"))
-           .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-    out._pruning_stats = {"blocks_total": n_blocks_total,  # type: ignore
-                          "blocks_decoded": n_selected}
-    return out
+# ---------------------------------------------------------------------------
+# Spark-side selection (head terms: metadata never leaves the cluster)
+# ---------------------------------------------------------------------------
+
+def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k):
+    """→ (full_terms, selected_blocks_df[(term, min_doc)] | None).
+
+    Every rule here is a lazy plan; nothing is collected. Thresholds come
+    from orderBy+limit+agg (TakeOrderedAndProject — scale-safe) cross-
+    joined back as 1-row broadcast frames."""
+    T = len(terms)
+    if shape == "single":
+        theta = (meta.select("block_max_norm")
+                 .orderBy(F.desc("block_max_norm")).limit(k)
+                 .agg(F.min("block_max_norm").alias("theta"),
+                      F.count(F.lit(1)).alias("n")))
+        sel = (meta.crossJoin(F.broadcast(theta))
+               .where((F.col("n") < k)
+                      | (F.col("block_max_norm") >= F.col("theta")))
+               .select("term", "min_doc"))
+        return [], sel
+
+    if shape == "and":
+        rare = min(terms, key=lambda t: est_blocks[t])
+        if est_blocks[rare] > RANGE_BCAST_CAP:
+            # both sides too dense for a broadcast range join — decode all
+            # blocks of the query terms (exact; pruning buys ~nothing here)
+            return list(terms), None
+        rare_ranges = (meta.where(F.col("term") == rare)
+                       .select(F.col("min_doc").alias("rmin"),
+                               F.col("max_doc").alias("rmax")))
+        others = (meta.where(F.col("term") != rare)
+                  .join(F.broadcast(rare_ranges),
+                        (F.col("max_doc") >= F.col("rmin"))
+                        & (F.col("min_doc") <= F.col("rmax")),
+                        "left_semi")
+                  .select("term", "min_doc"))
+        return [rare], others
+
+    # shape == "or"
+    ub = F.when(F.col("term") == terms[0], F.lit(idf[terms[0]]))
+    for t in terms[1:]:
+        ub = ub.when(F.col("term") == t, F.lit(idf[t]))
+    scored = meta.withColumn("ub", ub * F.col("block_max_norm"))
+    theta = (scored.select("ub").orderBy(F.desc("ub")).limit(k * T)
+             .agg(F.min("ub").alias("theta"), F.count(F.lit(1)).alias("n")))
+    s0 = (scored.crossJoin(F.broadcast(theta))
+          .where((F.col("n") < k * T)
+                 | (F.col("ub") >= F.col("theta") / F.lit(float(T)))))
+    s0_ranges = s0.select(F.col("min_doc").alias("rmin"),
+                          F.col("max_doc").alias("rmax"))
+    pulled = (scored.join(F.broadcast(s0_ranges),
+                          (F.col("max_doc") >= F.col("rmin"))
+                          & (F.col("min_doc") <= F.col("rmax")),
+                          "left_semi")
+              .select("term", "min_doc"))
+    sel = (s0.select("term", "min_doc").unionByName(pulled)
+           .dropDuplicates(["term", "min_doc"]))
+    return [], sel
 
 
 def _kth_lower_bound_single(blocks, idf: float, k: int) -> float:
