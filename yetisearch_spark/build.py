@@ -49,6 +49,15 @@ DEFAULT_NUM_BUCKETS = 32
 DEFAULT_SALT_THRESHOLD = 100_000
 DEFAULT_NUM_SALTS = 16
 
+# Multi-field indexing: token i of field f gets position f*FIELD_OFFSET + i
+# (the SQLite-FTS5-equivalent of per-column position lists: phrases and
+# NEAR groups can never span fields because the gap dwarfs any distance,
+# per-field term frequencies fall out of position >> FIELD_SHIFT, and the
+# posting format / row-level df stay exactly as in the single-field case).
+# Fields longer than FIELD_OFFSET tokens are truncated (1M tokens/field).
+FIELD_SHIFT = 20
+FIELD_OFFSET = 1 << FIELD_SHIFT
+
 
 # ---------------------------------------------------------------------------
 # Manifest (checkpoint/lineage)
@@ -116,7 +125,8 @@ _ENCODED_SCHEMA = StructType([
 ])
 
 
-def _runs_kernel_factory(avgdl: float, block_size: int, num_salts: int):
+def _runs_kernel_factory(avgdl: float, block_size: int, num_salts: int,
+                         multi_field: bool = False):
     """mapInArrow over docs splits → per-split posting runs in FINAL block
     format (Lucene-flush shape).
 
@@ -152,17 +162,33 @@ def _runs_kernel_factory(avgdl: float, block_size: int, num_salts: int):
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             dls = batch.column("doc_len").to_numpy(zero_copy_only=False)
             toks = batch.column("tokens").to_pylist()
+            flens = batch.column("field_lens").to_pylist() if multi_field \
+                else None
             agg: dict = {}
             for i, tlist in enumerate(toks):
                 if not tlist:
                     continue
                 seen: dict = {}
-                for pos, t in enumerate(tlist):
-                    ps = seen.get(t)
-                    if ps is None:
-                        seen[t] = [pos]
-                    else:
-                        ps.append(pos)
+                if multi_field:
+                    # positions restart per field at f*FIELD_OFFSET
+                    j = 0
+                    for f, ln in enumerate(flens[i]):
+                        base = f * FIELD_OFFSET
+                        for jj in range(min(ln, FIELD_OFFSET)):
+                            t = tlist[j + jj]
+                            ps = seen.get(t)
+                            if ps is None:
+                                seen[t] = [base + jj]
+                            else:
+                                ps.append(base + jj)
+                        j += ln
+                else:
+                    for pos, t in enumerate(tlist):
+                        ps = seen.get(t)
+                        if ps is None:
+                            seen[t] = [pos]
+                        else:
+                            ps.append(pos)
                 d = int(doc_ids[i])
                 dl = int(dls[i])
                 for t, ps in seen.items():
@@ -226,21 +252,32 @@ def build_index(
     shuffle_partitions: int | None = None,
     input_path: str | None = None,
     language: str = "english",
+    fields: list[str] | None = None,
     doc_id_base: int = 0,
     resume: bool = True,
 ) -> dict:
     """Build the full index; returns the manifest. Resumable per stage.
 
+    ``fields`` selects the indexed text columns (default ["text"]). With
+    several fields the index keeps ONE posting list per (term, doc) with
+    per-field position offsets (FIELD_OFFSET) — the Spark equivalent of
+    FTS5 multi-column tables (reference: src/Storage/SqliteStorage.php:
+    259-285,993-1021; per-field boosts src/Index/Indexer.php:35-44).
+    doc_len is the total token count across fields (FTS5's D), so
+    per-field BM25 weights at query time are float-exact vs
+    ``bm25(fts, w1, w2, …)``.
+
     ``doc_id_base`` shifts the whole doc_id space (docs AND posting
     blobs AND block min/max metadata) — used by streaming segments so a
     segment's ids never collide with the base index
     (reference upsert model: src/Storage/SqliteStorage.php:359-763)."""
+    fields = list(fields or ["text"])
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir) if resume else {"stages": {}, "lineage": {}, "config": {}}
     manifest["config"] = {
         "num_buckets": num_buckets, "block_size": block_size,
         "salt_threshold": salt_threshold, "num_salts": num_salts,
-        "language": language,
+        "language": language, "fields": fields,
     }
     manifest["doc_id_base"] = doc_id_base
     manifest["lineage"] = {"input_path": input_path or "<dataframe>"}
@@ -259,11 +296,24 @@ def build_index(
         analyze_udf = make_analyze_udf(language)
         staged = with_partition_ordinals(transcripts, ["conv_id", "turn_idx"],
                                          shuffle_partitions)
-        docs = (
-            staged
-            .withColumn("tokens", analyze_udf(F.col("text")))
-            .withColumn("doc_len", F.size("tokens"))
-        )
+        if len(fields) == 1:
+            docs = (
+                staged
+                .withColumn("tokens", analyze_udf(F.col(fields[0])))
+                .withColumn("doc_len", F.size("tokens"))
+            )
+        else:
+            tok_cols = [f"_tok{i}" for i in range(len(fields))]
+            docs = staged
+            for c, f in zip(tok_cols, fields):
+                docs = docs.withColumn(
+                    c, analyze_udf(F.coalesce(F.col(f), F.lit(""))))
+            docs = (docs
+                    .withColumn("tokens", F.concat(*tok_cols))
+                    .withColumn("field_lens",
+                                F.array(*[F.size(c) for c in tok_cols]))
+                    .withColumn("doc_len", F.size("tokens"))
+                    .drop(*tok_cols))
         docs.write.mode("overwrite").parquet(docs_path)
         offsets, n_docs = partition_offsets(spark.read.parquet(docs_path))
         # the shifted offsets are the single source of truth: every doc_id
@@ -325,8 +375,12 @@ def build_index(
         runs_schema = StructType(
             [f for f in _ENCODED_SCHEMA.fields if f.name != "bucket"]
         ).add(StructField("tf_sum", LongType(), False))
-        runs = (docs_for_runs.select("doc_id", "doc_len", "tokens")
-                .mapInArrow(_runs_kernel_factory(avgdl, block_size, num_salts),
+        multi = len(fields) > 1
+        run_cols = ["doc_id", "doc_len", "tokens"] + (
+            ["field_lens"] if multi else [])
+        runs = (docs_for_runs.select(*run_cols)
+                .mapInArrow(_runs_kernel_factory(avgdl, block_size, num_salts,
+                                                 multi_field=multi),
                             schema=runs_schema)
                 # bucket via the SAME Catalyst xxhash64 the query side uses
                 .withColumn("bucket",

@@ -400,7 +400,11 @@ class Engine:
         t0 = time.time()
         idx = self.indexes[index]
         node, fuzzy_map, q_tokens = self._compile(index, q)
-        scores = idx.match_scores(node)
+        # multi-field index: boost_fields become per-column bm25 weights
+        # (reference SqliteStorage multi-column mode, :993-1021); the R2
+        # page-level rescore below applies on top, matching :1186-1233
+        bm25_weights = q.boost_fields if len(idx.fields) > 1 else None
+        scores = idx.match_scores(node, weights=bm25_weights)
         handles = getattr(scores, "_ys_handles", [])
         doc_cols = idx._docs.columns
 

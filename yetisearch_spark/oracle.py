@@ -23,17 +23,34 @@ TOKENIZE = "unicode61 remove_diacritics 0 tokenchars '''-'"
 
 
 class Fts5Oracle:
-    def __init__(self) -> None:
+    def __init__(self, columns: Sequence[str] = ("content",)) -> None:
+        """``columns``: FTS column names — multi-column tables mirror the
+        reference's multi-field indexes (bm25 weights per column,
+        src/Storage/SqliteStorage.php:993-1021)."""
+        self.columns = list(columns)
         self.con = sqlite3.connect(":memory:")
+        cols = ", ".join(self.columns)
         self.con.execute(
-            f'CREATE VIRTUAL TABLE fts USING fts5(content, tokenize="{TOKENIZE}")'
+            f'CREATE VIRTUAL TABLE fts USING fts5({cols}, tokenize="{TOKENIZE}")'
         )
 
-    def add_documents(self, rows: Iterable[tuple[int, Sequence[str]]]) -> None:
-        """rows: (doc_id, analyzed tokens). doc_id becomes the FTS rowid."""
+    def add_documents(self, rows: Iterable[tuple[int, Sequence]]) -> None:
+        """rows: (doc_id, analyzed tokens) for single-column tables, or
+        (doc_id, [tokens_col1, tokens_col2, …]) for multi-column ones.
+        doc_id becomes the FTS rowid."""
+        ncols = len(self.columns)
+        cols = ", ".join(self.columns)
+        ph = ", ".join("?" * (ncols + 1))
+
+        def to_row(doc_id, tokens):
+            if ncols == 1 and (not tokens or isinstance(tokens[0], str)):
+                return (doc_id, " ".join(tokens))
+            assert len(tokens) == ncols
+            return (doc_id, *(" ".join(t) for t in tokens))
+
         self.con.executemany(
-            "INSERT INTO fts(rowid, content) VALUES (?, ?)",
-            ((doc_id, " ".join(tokens)) for doc_id, tokens in rows),
+            f"INSERT INTO fts(rowid, {cols}) VALUES ({ph})",
+            (to_row(doc_id, tokens) for doc_id, tokens in rows),
         )
         self.con.commit()
 
@@ -63,11 +80,18 @@ class Fts5Oracle:
             return q[0]
         raise ValueError(f"unknown query kind: {kind}")
 
-    def top_k(self, match: str, k: int = 10) -> list[tuple[int, float]]:
-        """→ [(doc_id, positive bm25 score)] best-first, ties by doc_id asc."""
+    def top_k(self, match: str, k: int = 10,
+              weights: Sequence[float] | None = None) -> list[tuple[int, float]]:
+        """→ [(doc_id, positive bm25 score)] best-first, ties by doc_id asc.
+        ``weights``: per-column bm25 weights (bm25(fts, w1, w2, …))."""
+        if weights is not None:
+            ws = ", ".join(repr(float(w)) for w in weights)
+            bm = f"bm25(fts, {ws})"
+        else:
+            bm = "bm25(fts)"
         cur = self.con.execute(
-            "SELECT rowid, bm25(fts) FROM fts WHERE fts MATCH ? "
-            "ORDER BY bm25(fts), rowid LIMIT ?",
+            f"SELECT rowid, {bm} FROM fts WHERE fts MATCH ? "
+            f"ORDER BY {bm}, rowid LIMIT ?",
             (match, k),
         )
         return [(row[0], abs(row[1])) for row in cur]

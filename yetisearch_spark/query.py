@@ -47,8 +47,8 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from .analyzer import analyze
 from .postings import BM25_B, BM25_K1, decode_posting_block
@@ -365,17 +365,30 @@ def _phrase_starts(positions_per_term: list[np.ndarray]) -> np.ndarray:
     return starts
 
 
-def _near_trim(instances: list[np.ndarray], plens: list[int], distance: int):
+def _near_trim(instances: list[np.ndarray], plens: list[int], distance: int,
+               wvec: Optional[tuple] = None):
     """FTS5 NEAR: an assignment (one instance per phrase) is valid iff
     max(start) − min(end) − 1 ≤ distance. Returns (matched, trimmed tf per
     phrase) where an instance counts iff it belongs to ≥1 valid assignment
     (FTS5 trims near-group position lists before bm25 sees them —
-    calibrated float-exact against sqlite3 FTS5)."""
+    calibrated float-exact against sqlite3 FTS5).
+
+    With ``wvec`` each surviving instance contributes its field's weight
+    (field = position >> FIELD_SHIFT) instead of 1 — the multi-column
+    bm25(fts, w…) accumulation over trimmed doclists."""
+    from .build import FIELD_SHIFT
+
+    def tally(valid_positions: np.ndarray):
+        if wvec is None:
+            return int(valid_positions.size)
+        fields = (valid_positions >> FIELD_SHIFT).clip(0, len(wvec) - 1)
+        return float(np.asarray(wvec, dtype=np.float64)[fields].sum())
+
     k = len(instances)
     if any(inst.size == 0 for inst in instances):
         return False, None
     if k == 1:
-        return True, [int(instances[0].size)]
+        return True, [tally(instances[0])]
     ends = [inst + (plens[j] - 1) for j, inst in enumerate(instances)]
     ms = np.unique(np.concatenate(ends))
     ok = np.empty((k, ms.size), dtype=bool)
@@ -395,7 +408,7 @@ def _near_trim(instances: list[np.ndarray], plens: list[int], distance: int):
         xs = instances[i]
         lo = np.searchsorted(valid_ms, xs - distance - 1, side="left")
         hi = np.searchsorted(valid_ms, xs + (plens[i] - 1), side="right")
-        counts.append(int((hi > lo).sum()))
+        counts.append(tally(xs[hi > lo]))
     return True, counts
 
 
@@ -421,6 +434,7 @@ class SearchIndex:
         self.manifest = load_manifest(index_dir)
         cfg = self.manifest.get("config", {})
         self.num_buckets = int(cfg.get("num_buckets", 32))
+        self.fields: list[str] = list(cfg.get("fields", ["text"]))
         gs = spark.read.parquet(os.path.join(index_dir, "global_stats")).collect()[0]
         self.n_docs = int(gs["n_docs"])
         self.avgdl = float(gs["avgdl"] or 1.0)
@@ -597,15 +611,20 @@ class SearchIndex:
         return grouped.mapInPandas(compute, schema=out_schema)
 
     def _prefix_match(self, node: PrefixNode) -> DataFrame:
+        # positions = union of all matching terms' instances (kept sorted so
+        # weighted scoring can attribute each instance to its field)
         return (self._decoded_for_prefix(node.prefix)
                 .groupBy("doc_id")
                 .agg(F.sum("tf").cast("int").alias("tf"),
-                     F.first("doc_len").alias("doc_len"))
-                .withColumn("positions", F.lit(None).cast(ArrayType(IntegerType()))))
+                     F.first("doc_len").alias("doc_len"),
+                     F.array_sort(F.flatten(F.collect_list("positions")))
+                     .alias("positions")))
 
-    def _near_table(self, node: Near, phrase_tables: dict) -> DataFrame:
+    def _near_table(self, node: Near, phrase_tables: dict,
+                    wvec: Optional[tuple] = None) -> DataFrame:
         """→ (doc_id, doc_len, tf_0 … tf_{k-1}) for docs satisfying the NEAR
-        constraint, with NEAR-trimmed per-member term frequencies."""
+        constraint, with NEAR-trimmed per-member term frequencies
+        (field-weighted when ``wvec`` is given)."""
         k = len(node.phrases)
         joined = None
         for i, p in enumerate(node.phrases):
@@ -617,9 +636,10 @@ class SearchIndex:
         plens = [len(p.terms) for p in node.phrases]
         distance = node.distance
 
+        tf_type = DoubleType() if wvec is not None else IntegerType()
         fields = [StructField("doc_id", LongType(), False),
                   StructField("doc_len", IntegerType(), False)]
-        fields += [StructField(f"tf_{i}", IntegerType(), False) for i in range(k)]
+        fields += [StructField(f"tf_{i}", tf_type, False) for i in range(k)]
         out_schema = StructType(fields)
 
         def check(batches):
@@ -630,7 +650,7 @@ class SearchIndex:
                 for row in pdf.itertuples(index=False):
                     inst = [np.asarray(getattr(row, f"starts_{i}"), dtype=np.int64)
                             for i in range(k)]
-                    matched, counts = _near_trim(inst, plens, distance)
+                    matched, counts = _near_trim(inst, plens, distance, wvec)
                     if matched:
                         rows.append((row.doc_id, row.doc_len, *counts))
                 if rows:
@@ -639,7 +659,7 @@ class SearchIndex:
 
     # -- full query execution --------------------------------------------------
 
-    def _plan(self, node):
+    def _plan(self, node, wvec: Optional[tuple] = None):
         """Build match tables for a query tree.
 
         Returns (slots, phrase_tables, phrase_df, near_tables, handles)
@@ -725,9 +745,9 @@ class SearchIndex:
 
         near_tables: dict = {}
         for nr in _unique_nears(node):
-            key = ("nr", tuple(p.terms for p in nr.phrases), nr.distance)
+            key = ("nr", tuple(p.terms for p in nr.phrases), nr.distance, wvec)
             near_tables[nr] = materialize(
-                key, lambda nr=nr: self._near_table(nr, phrase_tables))
+                key, lambda nr=nr: self._near_table(nr, phrase_tables, wvec))
 
         self._register_handles(handles)
         return slots, phrase_tables, phrase_df, near_tables, handles
@@ -739,8 +759,52 @@ class SearchIndex:
                 / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double")
                               / self.avgdl)))
 
-    def match_scores(self, node) -> DataFrame:
+    def _weighted_tf(self, pos_col: str, wvec: tuple[float, ...]):
+        """Σ over instances of the instance's field weight — the FTS5
+        aFreq[p] += w[column] accumulation (fts5Bm25Function); the field
+        of an instance is its position >> FIELD_SHIFT."""
+        from .build import FIELD_SHIFT
+
+        def step(acc, x):
+            fld = F.shiftright(x, FIELD_SHIFT)
+            expr = F.when(fld == 0, F.lit(float(wvec[0])))
+            for i, wi in enumerate(wvec[1:], start=1):
+                expr = expr.when(fld == i, F.lit(float(wi)))
+            return acc + expr.otherwise(F.lit(1.0))
+
+        return F.aggregate(F.coalesce(F.col(pos_col),
+                                      F.array().cast("array<int>")),
+                           F.lit(0.0), step)
+
+    def _contrib_expr_weighted(self, pos_col: str, idf: float,
+                               wvec: tuple[float, ...]):
+        k1, b = BM25_K1, BM25_B
+        tf = self._weighted_tf(pos_col, wvec)
+        return (F.lit(idf) * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double")
+                              / self.avgdl)))
+
+    def _normalize_weights(self, weights) -> Optional[tuple[float, ...]]:
+        """dict {field: w} or sequence → weight vector in index-field
+        order; None when uniform (unweighted fast path)."""
+        if not weights:
+            return None
+        if isinstance(weights, dict):
+            wvec = tuple(float(weights.get(f, 1.0)) for f in self.fields)
+        else:
+            wvec = tuple(float(w) for w in weights)
+            if len(wvec) < len(self.fields):
+                wvec = wvec + (1.0,) * (len(self.fields) - len(wvec))
+        return None if all(w == 1.0 for w in wvec) else wvec
+
+    def match_scores(self, node, weights=None) -> DataFrame:
         """→ DataFrame (doc_id long, score double) for the query tree.
+
+        ``weights``: per-field BM25 weights ({field: w} or a sequence in
+        index-field order) — the FTS5 ``bm25(fts, w1, w2, …)`` semantics
+        over a multi-field index (reference:
+        src/Storage/SqliteStorage.php:993-1021). Uniform weights take the
+        unweighted path (tf straight from the postings, no position work).
 
         ONE shuffle: per-slot contribution rows (doc_id, slot, c) are
         unioned and hash-aggregated; the ordered fold over
@@ -757,23 +821,31 @@ class SearchIndex:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if node is None:
             return empty
-        slots, phrase_tables, phrase_df, near_tables, handles = self._plan(node)
+        wvec = self._normalize_weights(weights)
+        slots, phrase_tables, phrase_df, near_tables, handles = \
+            self._plan(node, wvec)
         if not slots:
             return empty
+
+        def phrase_contrib(p):
+            idf = self.idf(phrase_df[p])
+            if wvec is None:
+                return self._contrib_expr("tf", idf)
+            return self._contrib_expr_weighted("positions", idf, wvec)
 
         # no-shuffle fast path: every slot sources from ONE match table
         # (single phrase/prefix, or one NEAR group) — score is a plain
         # projection, qualification is row existence. Saves the whole
         # aggregation stage on the most common query shapes.
         if isinstance(node, (Phrase, PrefixNode)):
-            idf = self.idf(phrase_df[node])
             out = phrase_tables[node].select(
-                "doc_id", self._contrib_expr("tf", idf).alias("score"))
+                "doc_id", phrase_contrib(node).alias("score"))
             out._ys_handles = handles  # type: ignore[attr-defined]
             return out
         if isinstance(node, Near):
             score = None
             for m in range(len(node.phrases)):
+                # near-table tf_m is already field-weighted when wvec set
                 c = self._contrib_expr(f"tf_{m}",
                                        self.idf(phrase_df[node.phrases[m]]))
                 score = c if score is None else score + c
@@ -785,10 +857,9 @@ class SearchIndex:
         for i, slot in enumerate(slots):
             if slot[0] == "phrase":
                 p = slot[1]
-                idf = self.idf(phrase_df[p])
                 branch = phrase_tables[p].select(
                     "doc_id", F.lit(i).alias("slot"),
-                    self._contrib_expr("tf", idf).alias("c"))
+                    phrase_contrib(p).alias("c"))
             else:
                 _, nr, member = slot
                 idf = self.idf(phrase_df[nr.phrases[member]])
@@ -809,13 +880,14 @@ class SearchIndex:
         return out
 
     def search(self, query, k: int = 10, filters: dict | None = None,
-               with_docs: bool = False) -> DataFrame:
-        """Top-k BM25 search. query: string or AST node.
+               with_docs: bool = False, weights=None) -> DataFrame:
+        """Top-k BM25 search. query: string or AST node; ``weights`` =
+        per-field BM25 weights over a multi-field index.
 
         → (doc_id, score) [+ doc columns], best-first, ties by doc_id.
         """
         node = parse_query(query) if isinstance(query, str) else query
-        scores = self.match_scores(node)
+        scores = self.match_scores(node, weights=weights)
         handles = getattr(scores, "_ys_handles", [])
         if filters:
             docs = self._docs
