@@ -31,7 +31,7 @@ _DSL_TOKEN_RE = re.compile(
     r"""
     (?P<string>"[^"]*"|'[^']*')            |
     (?P<operator>=\?|!=|>=|<=|>|<|=|\bLIKE\b|\bNOT\s+IN\b|\bIN\b|\bAND\b|\bOR\b) |
-    (?P<keyword>\bFIELDS\b|\bSORT\b|\bPAGE\b|\bLIMIT\b|\bOFFSET\b|\bFUZZY\b|\bHIGHLIGHT\b) |
+    (?P<keyword>\bFIELDS\b|\bSORT\b|\bPAGE\b|\bLIMIT\b|\bOFFSET\b|\bFUZZY\b|\bHIGHLIGHT\b|\bNEAR\b|\bWITHIN\b) |
     (?P<number>-?\d+\.?\d*)                |
     (?P<field>\w+(?:\.\w+)*\*?)            |
     (?P<bracket>\[|\])                     |
@@ -65,8 +65,28 @@ class QueryParser:
         while self.pos < len(self.tokens):
             kind, val = self._cur()
             if kind == "keyword":
-                in_query = False
                 kw = val.upper()
+                if kw in ("NEAR", "WITHIN"):
+                    # geo grammar: NEAR(lat, lng, radius) / WITHIN(n, s, e, w)
+                    # (reference keyword slots, src/DSL/QueryParser.php:61,
+                    # 138-142 — the reference stubs the args; we parse them).
+                    # Non-numeric args (FTS5 NEAR(a b, 5)) stay query text.
+                    nums = self._try_parse_geo_args()
+                    if nums is None:
+                        if in_query:
+                            query_parts.append(val)
+                        self._next()
+                        continue
+                    if kw == "NEAR" and len(nums) >= 3:
+                        q.geo_filters["near"] = {"lat": nums[0],
+                                                 "lng": nums[1],
+                                                 "radius": nums[2]}
+                    elif kw == "WITHIN" and len(nums) >= 4:
+                        q.geo_filters["within"] = {
+                            "north": nums[0], "south": nums[1],
+                            "east": nums[2], "west": nums[3]}
+                    continue
+                in_query = False
                 self._next()
                 if kw == "FIELDS":
                     q.boost_fields = {f: 1.0 for f in self._parse_fields()}
@@ -102,6 +122,40 @@ class QueryParser:
 
     def _next(self):
         self.pos += 1
+
+    def _try_parse_geo_args(self) -> list[float] | None:
+        """At a NEAR/WITHIN keyword: consume `(n, n, …)` of pure numbers and
+        return them; leave position untouched and return None otherwise."""
+        start = self.pos
+        self._next()
+        if self._cur() != ("paren", "("):
+            self.pos = start
+            return None
+        self._next()
+        nums: list[float] = []
+        while self.pos < len(self.tokens):
+            kind, val = self._cur()
+            if kind == "paren" and val == ")":
+                self._next()
+                return nums if nums else None
+            if kind == "comma":
+                self._next()
+                continue
+            if kind == "number":
+                nums.append(float(val))
+                self._next()
+                continue
+            if kind == "dash":  # negative coordinate
+                self._next()
+                k2, v2 = self._cur()
+                if k2 == "number":
+                    nums.append(-float(v2))
+                    self._next()
+                    continue
+            self.pos = start  # non-numeric content → FTS NEAR, not geo
+            return None
+        self.pos = start
+        return None
 
     def _is_condition(self) -> bool:
         k, _ = self._cur()
@@ -305,6 +359,29 @@ class URLQueryParser:
             q.facets[fld] = opts if isinstance(opts, dict) else {}
         for fld, w in (params.get("boost") or {}).items():
             q.boost_fields[fld] = float(w)
+        geo = params.get("geo") or {}
+        if geo:
+            # geo[near][lat/lng/radius[,units]], geo[within][north/south/
+            # east/west], geo[sort][lat/lng[,direction]], geo[units]
+            # (reference: src/DSL/URLQueryParser.php:200-239)
+            near = geo.get("near") or {}
+            if {"lat", "lng", "radius"} <= set(near):
+                q.geo_filters["near"] = {
+                    "lat": float(near["lat"]), "lng": float(near["lng"]),
+                    "radius": float(near["radius"]),
+                    **({"units": near["units"]} if "units" in near else {})}
+            within = geo.get("within") or {}
+            if {"north", "south", "east", "west"} <= set(within):
+                q.geo_filters["within"] = {
+                    k: float(within[k])
+                    for k in ("north", "south", "east", "west")}
+            gsort = geo.get("sort") or {}
+            if {"lat", "lng"} <= set(gsort):
+                q.geo_filters["distance_sort"] = {
+                    "lat": float(gsort["lat"]), "lng": float(gsort["lng"]),
+                    "direction": gsort.get("direction", "asc")}
+            if "units" in geo:
+                q.geo_filters["units"] = geo["units"]
         if "language" in params:
             q.language = params["language"]
         return q
@@ -387,6 +464,25 @@ class QueryBuilder:
 
     def boost(self, field: str, weight: float) -> "QueryBuilder":
         self._q.boost_fields[field] = weight
+        return self
+
+    def near(self, lat: float, lng: float, radius: float,
+             units: str | None = None) -> "QueryBuilder":
+        self._q.geo_filters["near"] = {"lat": lat, "lng": lng,
+                                       "radius": radius,
+                                       **({"units": units} if units else {})}
+        return self
+
+    def within(self, north: float, south: float, east: float,
+               west: float) -> "QueryBuilder":
+        self._q.geo_filters["within"] = {"north": north, "south": south,
+                                         "east": east, "west": west}
+        return self
+
+    def sort_by_distance(self, lat: float, lng: float,
+                         direction: str = "asc") -> "QueryBuilder":
+        self._q.geo_filters["distance_sort"] = {"lat": lat, "lng": lng,
+                                                "direction": direction}
         return self
 
     def build(self) -> SearchQuery:

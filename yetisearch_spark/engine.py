@@ -17,6 +17,7 @@ rows after the SQL returns.
 
 from __future__ import annotations
 
+import math
 import re
 import time
 from dataclasses import dataclass, field
@@ -59,6 +60,13 @@ class SearchQuery:
     boost_fields: dict[str, float] = field(default_factory=dict)
     result_fields: list[str] = field(default_factory=list)  # F5 projection
     bypass_cache: bool = False
+    #: geo filters (reference SearchQuery::near/within/sortByDistance,
+    #: src/Models/SearchQuery.php + URLQueryParser geo[...] params):
+    #:   {"near": {"lat","lng","radius"[,"units"]},
+    #:    "within": {"north","south","east","west"},
+    #:    "distance_sort": {"lat","lng"[,"direction"]},
+    #:    "nearest": {"lat","lng","k"}, "units": "m|km|mi"}
+    geo_filters: dict = field(default_factory=dict)
 
 
 _FILTER_OPS = {"=", "!=", ">", "<", ">=", "<=", "like", "not like", "contains",
@@ -192,6 +200,17 @@ class Engine:
             "synonyms": {},
             "min_term_frequency": 2,
             "max_indexed_terms": 20_000,
+            # R6 distance blending (reference SearchEngine.php:760-769)
+            "distance_weight": 0.0,
+            "distance_decay_k": 0.005,
+            "geo_units": "m",
+            "geo_lat_col": "lat",
+            "geo_lng_col": "lng",
+            # R7 two-pass (reference SearchEngine.php:139-203)
+            "two_pass_search": False,
+            "field_weights": {},
+            "primary_fields": ("title", "h1", "name", "label"),
+            "primary_field_limit": 20,
             **(config or {}),
         }
         self._correctors: dict[str, object] = {}
@@ -392,7 +411,7 @@ class Engine:
                  q.highlight, q.highlight_length,
                  sorted((k, sorted(v.items())) for k, v in q.facets.items()),
                  sorted((k, sorted(v.items())) for k, v in q.aggregations.items()),
-                 sorted(q.boost_fields.items()),
+                 sorted(q.boost_fields.items()), repr(q.geo_filters),
                  q.result_fields)).encode()).hexdigest())
             hit = self._cache_get(cache_key)
             if hit is not None:
@@ -412,12 +431,51 @@ class Engine:
         rescore_live = bool(q.boost_fields)
         route_live = bool(q.unique_by_route and "route" in doc_cols)
         persist_matched = bool(q.facets or q.aggregations)
+        geo = q.geo_filters or {}
+        latc = self.config["geo_lat_col"]
+        lngc = self.config["geo_lng_col"]
+        geo_live = bool(geo) and latc in doc_cols and lngc in doc_cols
+        geo_units = str(geo.get("units") or self.config["geo_units"])
+
+        # O6 nearest-neighbor mode: no text query, pure distance top-k
+        # (reference: src/Storage/SqliteStorage.php:916-989)
+        if geo_live and "nearest" in geo and not q.query.strip():
+            return self._nearest(idx, q, geo, latc, lngc, geo_units, t0)
+
         # the scoring plan needs the doc store joined in BEFORE top-k only
         # when full-set semantics depend on doc columns
         docs_in_set = bool(q.filters) or bool(q.sort) or route_live \
-            or persist_matched
+            or persist_matched or geo_live
         matched = apply_filters(idx._docs, q.filters).join(scores, "doc_id") \
             if docs_in_set else scores
+
+        dist_sort = geo.get("distance_sort") if geo_live else None
+        dw = float(self.config["distance_weight"])
+        if geo_live:
+            # J2 geo filters + distance column inside the Catalyst plan
+            # (reference spatial clauses: SqliteStorage.php:1988-2209)
+            from . import geo as G
+            ref_pt = None
+            if "near" in geo:
+                n = geo["near"]
+                radius_m = G.to_meters(float(n["radius"]),
+                                       n.get("units") or geo_units)
+                matched = G.within_radius(matched, float(n["lat"]),
+                                          float(n["lng"]), radius_m,
+                                          latc, lngc)
+                ref_pt = (float(n["lat"]), float(n["lng"]))
+            if "within" in geo:
+                matched = matched.where(
+                    G.bbox_predicate(geo["within"], latc, lngc))
+            if dist_sort:
+                ref_pt = (float(dist_sort["lat"]), float(dist_sort["lng"]))
+            need_distance = bool(dist_sort) or dw > 0 or "distance" in q.facets
+            if need_distance and "distance" not in matched.columns \
+                    and ref_pt is not None:
+                matched = matched.withColumn(
+                    "distance", G.haversine_m(ref_pt[0], ref_pt[1],
+                                              latc, lngc))
+
         persisted_ref = None  # unpersist the EXACT persisted frame, not a
         # later reassignment of `matched` (derived frames are no-ops)
         try:
@@ -441,7 +499,12 @@ class Engine:
                         F.round(F.col("score") / F.lit(float(w_max)) * 100.0, 1))
                 matched = self._dedup_by_route(matched)
 
-            if q.sort:
+            if dist_sort:
+                # distance sort wins (reference needsPhpSort path,
+                # SqliteStorage.php:1237-1262)
+                asc = str(dist_sort.get("direction", "asc")).lower() != "desc"
+                order = [("distance", asc), ("doc_id", True)]
+            elif q.sort:
                 order = [(fld, d.lower() != "desc") for fld, d in q.sort.items()]
                 order.append(("doc_id", True))
             else:
@@ -449,10 +512,23 @@ class Engine:
 
             # R3: overfetch candidates when driver-side rescoring can
             # reorder them (reference: src/Storage/SqliteStorage.php:903-913)
-            overfetch = fuzzy_live or rescore_live
+            overfetch = fuzzy_live or rescore_live or dw > 0
             fetch_n = max(effective_limit(q.limit) if overfetch else 0,
                           q.offset + q.limit)
-            if docs_in_set:
+
+            # R7 two-pass (reference SearchEngine.php:139-203): pass 1
+            # restricted to primary fields (zero weights elsewhere + >0
+            # score cut == field-restricted match) with doubled weights,
+            # boosted ×1.5 in the merge; pass 2 is the standard ranking.
+            two_pass = (self.config["two_pass_search"]
+                        and self.config["field_weights"]
+                        and len(idx.fields) > 1 and node is not None
+                        and not (q.sort or dist_sort or route_live))
+            if two_pass:
+                rows, total, extra_handles = self._two_pass_rows(
+                    idx, node, scores, q, fetch_n)
+                handles = handles + extra_handles
+            elif docs_in_set:
                 rows, total = self._page_and_total(matched, order, fetch_n)
             else:
                 rows, total = self._page_and_total_enriched(
@@ -492,6 +568,18 @@ class Engine:
                 for d in rows:
                     d["score"] = round(d["score"] / w_max * 100.0, 1)
 
+            if dw > 0:
+                # R6: blend text score with exponential distance decay
+                # (reference: SearchEngine.php:760-769,820-825)
+                k_decay = float(self.config["distance_decay_k"])
+                for d in rows:
+                    if d.get("distance") is not None:
+                        km = max(0.0, float(d["distance"]) / 1000.0)
+                        ds = max(0.0, min(100.0, 100.0 * math.exp(-k_decay * km)))
+                        d["score"] = round((1.0 - dw) * d["score"] + dw * ds, 1)
+                if not (q.sort or dist_sort):
+                    _sort_rows(rows, [("score", False), ("doc_id", True)])
+
             page = rows[q.offset:q.offset + q.limit]
 
             results = []
@@ -507,6 +595,21 @@ class Engine:
                 item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
                         if "conv_id" in d else str(d.get("doc_id")),
                         "score": d.pop("score"), "document": d}
+                if d.get("distance") is not None:
+                    # attach distance + units/bearing metadata (reference:
+                    # SearchEngine.php:795-819)
+                    from .geo import bearing_deg, bearing_to_cardinal
+                    item["distance"] = d.pop("distance")
+                    meta = item.setdefault("metadata", {})
+                    meta["distance_units"] = geo_units \
+                        if geo_units in ("km", "mi") else "m"
+                    pt = (geo.get("distance_sort")
+                          or geo.get("near") or {})
+                    if "lat" in pt and d.get(latc) is not None:
+                        b = bearing_deg(float(pt["lat"]), float(pt["lng"]),
+                                        float(d[latc]), float(d[lngc]))
+                        meta["bearing"] = round(b, 1)
+                        meta["cardinal"] = bearing_to_cardinal(b)
                 if q.highlight and d.get("text"):
                     snippet = extract_snippet(d["text"], hl_terms,
                                               q.highlight_length)
@@ -537,6 +640,59 @@ class Engine:
         if cache_key is not None:
             self._cache_put(cache_key, out)
         return out
+
+    def _nearest(self, idx: SearchIndex, q: SearchQuery, geo: dict,
+                 latc: str, lngc: str, geo_units: str, t0: float) -> dict:
+        """O6 k-NN: distance-ordered docs, no text ranking."""
+        from . import geo as G
+        nn = geo["nearest"]
+        k = int(nn.get("k", q.limit))
+        docs = apply_filters(idx._docs, q.filters)
+        rows = G.knn(docs, float(nn["lat"]), float(nn["lng"]), k,
+                     max_distance_m=nn.get("max_distance_m"),
+                     lat_col=latc, lng_col=lngc).collect()
+        results = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            d.pop("tokens", None)
+            item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
+                    if "conv_id" in d else str(d.get("doc_id")),
+                    "score": 0.0,
+                    "distance": d.pop("distance"),
+                    "document": d,
+                    "metadata": {"distance_units": geo_units
+                                 if geo_units in ("km", "mi") else "m"}}
+            results.append(item)
+        return {"results": results, "total": len(results),
+                "count": len(results),
+                "search_time": round(time.time() - t0, 4)}
+
+    def _two_pass_rows(self, idx: SearchIndex, node, scores: DataFrame,
+                       q: SearchQuery, fetch_n: int):
+        """R7: primary-field pass (doubled weights, zero elsewhere) merged
+        over the standard pass with a ×1.5 boost, deduped keeping pass-1
+        (reference: SearchEngine.php:139-203). Total is the merged
+        candidate count, as in the reference."""
+        from .rescoring import two_pass_search
+        pw = {f: float(self.config["field_weights"][f]) * 2.0
+              for f in self.config["primary_fields"]
+              if f in self.config["field_weights"]}
+        if not pw:
+            rows, total = self._page_and_total_enriched(scores, idx._docs,
+                                                        fetch_n)
+            return rows, total, []
+        zero = {f: 0.0 for f in idx.fields}
+        s1 = idx.match_scores(node, weights={**zero, **pw})
+        extra_handles = getattr(s1, "_ys_handles", [])
+        s1 = (s1.where(F.col("score") > 0)
+              .orderBy(F.desc("score"), F.asc("doc_id"))
+              .limit(int(self.config["primary_field_limit"])))
+        s2 = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(fetch_n)
+        merged = two_pass_search(s1, s2, k=fetch_n)
+        enriched = idx._docs.join(F.broadcast(merged), "doc_id")
+        rows = [r.asDict(recursive=True) for r in enriched.collect()]
+        _sort_rows(rows, [("score", False), ("doc_id", True)])
+        return rows, len(rows), extra_handles
 
     # -- K1: result cache ------------------------------------------------------
 
@@ -607,8 +763,8 @@ class Engine:
         sample = matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(sample_limit)
         out = {}
         for fld, opts in q.facets.items():
-            if fld == "distance":
-                continue  # geo distance facets handled by geo module
+            if fld == "distance" and "distance" not in matched.columns:
+                continue  # A2 needs a geo query to attach the column
             ranges = opts.get("ranges")
             if ranges:
                 # A3: range facet {to}/{from,to}/{from}
