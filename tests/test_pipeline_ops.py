@@ -57,6 +57,134 @@ def test_ngram_jaccard_pairs(docs):
     assert (0, 4) not in got
 
 
+def test_minhash_long_chain_groups_to_one(spark):
+    """20-doc near-duplicate chain (each doc ~= its neighbor) must collapse
+    into ONE group — the fixed-3-round union split chains > 2^3 hops."""
+    from yetisearch_spark.dedup import minhash_lsh_dedup
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    words = list(base)
+    for i in range(20):
+        rows.append((i, " ".join(words)))
+        words = words[1:] + [f"extra{i}"]  # drift one word per step
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = minhash_lsh_dedup(df, num_hashes=64, bands=32,
+                               jaccard_threshold=0.35).collect()
+    g = {r["doc_id"]: r["group_id"] for r in groups}
+    # neighbors are near-dups; transitive union must reach one root
+    assert len(set(g.values())) == 1, g
+    assert set(g.values()) == {0}
+
+
+def test_minhash_exact_verify(docs):
+    """verify='exact' computes true shingle Jaccard — identical docs group,
+    and estimated-vs-exact agree on this corpus."""
+    from yetisearch_spark.dedup import minhash_lsh_dedup
+    groups = minhash_lsh_dedup(docs, num_hashes=64, bands=32,
+                               jaccard_threshold=0.5,
+                               verify="exact").collect()
+    g = {r["doc_id"]: r["group_id"] for r in groups}
+    assert g.get(0) == g.get(1) == 0
+    assert 4 not in g and 5 not in g
+
+
+def test_ngram_prefix_filter_matches_naive(spark, docs):
+    """The prefix-filtered join must return EXACTLY the naive all-pairs
+    result (candidate generation is lossless for J >= threshold)."""
+    from itertools import combinations
+    from yetisearch_spark.dedup import ngram_jaccard_pairs
+    rows = docs.collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+
+    def grams(t, n=3):
+        return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
+
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.4:
+            want[(a, b)] = round(j, 6)
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert got == want
+
+
+def test_chunking_matches_reference_algorithm():
+    from yetisearch_spark.chunking import chunk_text, should_chunk
+    text = ". ".join(f"sentence number {i} with several words here" for i in range(40)) + "."
+    assert should_chunk(text, 300)
+    chunks = chunk_text(text, chunk_size=300, overlap=50)
+    assert len(chunks) > 2
+    # every chunk respects size + one sentence of slack; overlap carries
+    # the previous chunk's tail words forward
+    for c in chunks:
+        assert len(c) <= 300 + 60
+    for prev, nxt in zip(chunks, chunks[1:]):
+        tail_word = prev.split()[-1]
+        assert tail_word in nxt.split()[:12]
+    # short text passes through untouched
+    assert chunk_text("short.", 300, 50) == ["short."]
+
+
+def test_chunk_documents_and_rollup(spark, tmp_path):
+    """Chunked build feeds the A7 roll-up: chunks of one parent regroup
+    under route = parent_id (reference chunk metadata Indexer.php:270-362)."""
+    import pandas as pd
+    from yetisearch_spark.chunking import chunk_documents
+    from yetisearch_spark.build import build_index
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    long_text = ("the searchable marker phrase zumba appears here. " * 60).strip()
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c2"],
+        "turn_idx": [0, 0],
+        "role": ["user", "user"],
+        "text": [long_text, "short zumba doc."],
+        "tool": [None, None],
+        "ts": pd.Timestamp("2025-01-01"),
+    })
+    chunked = chunk_documents(spark.createDataFrame(pdf), chunk_size=400,
+                              overlap=60)
+    rows = chunked.collect()
+    c1 = [r for r in rows if r["parent_id"] == "c1#0"]
+    assert len(c1) > 2 and all(r["is_chunk"] for r in c1)
+    assert [r["chunk_index"] for r in sorted(c1, key=lambda r: r["chunk_index"])] \
+        == list(range(len(c1)))
+    assert all(r["route"] == "c1#0" for r in c1)
+    c2 = [r for r in rows if r["parent_id"] == "c2#0"]
+    assert len(c2) == 1 and not c2[0]["is_chunk"] and c2[0]["route"] is None
+
+    # build an index over chunk identity (conv_id=parent, turn_idx=chunk)
+    out = str(tmp_path / "chunk_idx")
+    transcripts = chunked.select(
+        F.col("parent_id").alias("conv_id"),
+        F.col("chunk_index").alias("turn_idx"),
+        "role", "text", "tool", "ts", "route")
+    build_index(spark, transcripts, out, num_buckets=4)
+    eng = Engine(spark, {"c": out})
+    res = eng.search("c", SearchQuery(query="zumba", limit=20,
+                                      unique_by_route=True))
+    ids = [r["id"] for r in res["results"]]
+    # roll-up: one composite result for the chunked doc + the short doc
+    assert len(ids) == 2
+    chunked_item = [r for r in res["results"]
+                    if r["document"].get("route") == "c1#0"]
+    assert chunked_item and chunked_item[0]["document"]["chunk_count"] > 2
+
+
+def test_explode_prechunked(spark):
+    from yetisearch_spark.chunking import explode_prechunked
+    df = spark.createDataFrame(
+        [("c1", 0, ["part one", "part two", "part three"])],
+        "conv_id string, turn_idx int, chunks array<string>")
+    out = explode_prechunked(df).collect()
+    assert [r["text"] for r in out] == ["part one", "part two", "part three"]
+    assert all(r["route"] == "c1#0" for r in out)
+    assert [r["chunk_index"] for r in out] == [0, 1, 2]
+
+
 def test_quality_features(spark):
     from yetisearch_spark.textstats import quality_features
     df = spark.createDataFrame(

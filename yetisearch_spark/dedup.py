@@ -89,18 +89,64 @@ def make_minhash_udf(num_hashes: int = 128, shingle: int = 5, seed: int = 7):
     return pandas_udf(ArrayType(LongType()))(_batch)
 
 
+def _shingle_set_col(text_col: str, shingle: int):
+    """Whitespace-collapsed lowercase character shingles as a distinct
+    array — the JVM twin of make_minhash_udf's shingling."""
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    t = F.rpad(t, shingle, " ")  # pad very short docs like the UDF does
+    return F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length({'_norm'}) - {shingle - 1}, 1)), "
+        f"i -> substring({'_norm'}, i, {shingle}))")), t
+
+
+def connected_groups(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(a, b) undirected edges → (doc_id, group_id = min id of the
+    connected component). Pointer-jumping min-propagation run to FIXPOINT
+    (one changed-row count job per round; rounds ≈ log2(longest chain),
+    so a 20-doc boilerplate chain converges in ~5 — the fixed 3-round
+    variant split long chains into several groups)."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    groups = (sym.groupBy("a").agg(F.min("b").alias("g"))
+              .select(F.col("a").alias("doc_id"),
+                      F.least("a", "g").alias("group_id"))).persist()
+    for _ in range(max_iters):
+        g2 = (groups.alias("x")
+              .join(groups.select(F.col("doc_id").alias("group_id"),
+                                  F.col("group_id").alias("g2")).alias("y"),
+                    "group_id", "left")
+              .select("doc_id",
+                      F.least("group_id", F.coalesce("g2", "group_id"))
+                      .alias("group_id"))
+              .groupBy("doc_id").agg(F.min("group_id").alias("group_id"))
+              ).persist()
+        changed = (g2.alias("n").join(groups.alias("o"), "doc_id")
+                   .where(F.col("n.group_id") != F.col("o.group_id"))
+                   .limit(1).count())
+        groups.unpersist()
+        groups = g2
+        if changed == 0:
+            break
+    return groups
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *, num_hashes: int = 128,
                       bands: int = 32, shingle: int = 5,
                       jaccard_threshold: float = 0.8,
+                      verify: str = "estimate",
                       seed: int = 7) -> DataFrame:
     """→ (doc_id, group_id) for near-duplicate docs (group = min doc_id of
     the duplicate set; singletons omitted).
 
     Plan shape: signature (pandas UDF) → explode to (band, band_hash)
     keys → self-join on band buckets (equi-join, shuffles only bucket
-    keys) → signature-estimated Jaccard filter → greedy union via
-    min-id propagation."""
+    keys) → Jaccard verify → connected components to fixpoint.
+
+    ``verify``: "estimate" filters candidate pairs by the fraction of
+    agreeing signature slots (unbiased estimator, zero extra IO);
+    "exact" joins the texts back and computes the true shingle-set
+    Jaccard with JVM array ops (array_intersect/union — no Python)."""
     rows_per_band = num_hashes // bands
     sig_udf = make_minhash_udf(num_hashes, shingle, seed)
     sigs = (df.select(F.col(id_col).alias("doc_id"),
@@ -126,30 +172,27 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                      F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
              .dropDuplicates(["a", "b"]))
 
-    # estimated Jaccard = fraction of agreeing signature slots
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                      lambda x, y: x == y), lambda v: v))
-           / F.lit(float(num_hashes)))
-    verified = pairs.where(est >= jaccard_threshold).select("a", "b")
+    if verify == "exact":
+        arr_expr, norm = _shingle_set_col(text_col, shingle)
+        shingles = (df.select(F.col(id_col).alias("doc_id"),
+                              norm.alias("_norm"))
+                    .select("doc_id", arr_expr.alias("gs")))
+        ga = shingles.select(F.col("doc_id").alias("a"),
+                             F.col("gs").alias("gs_a"))
+        gb = shingles.select(F.col("doc_id").alias("b"),
+                             F.col("gs").alias("gs_b"))
+        jac = (F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+               / F.size(F.array_union("gs_a", "gs_b")))
+        verified = (pairs.select("a", "b").join(ga, "a").join(gb, "b")
+                    .where(jac >= jaccard_threshold).select("a", "b"))
+    else:
+        # estimated Jaccard = fraction of agreeing signature slots
+        est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                          lambda x, y: x == y), lambda v: v))
+               / F.lit(float(num_hashes)))
+        verified = pairs.where(est >= jaccard_threshold).select("a", "b")
 
-    # group id: iterate min-propagation (duplicate sets are tiny; 3 rounds
-    # closes chains a<b<c; loop to fixpoint for safety, bounded)
-    edges = verified.unionByName(
-        verified.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    groups = edges.groupBy("a").agg(F.min("b").alias("g")) \
-        .select(F.col("a").alias("doc_id"),
-                F.least("a", "g").alias("group_id"))
-    for _ in range(3):
-        g2 = (groups.alias("x")
-              .join(groups.select(F.col("doc_id").alias("group_id"),
-                                  F.col("group_id").alias("g2")).alias("y"),
-                    "group_id", "left")
-              .select("doc_id",
-                      F.least("group_id", F.coalesce("g2", "group_id"))
-                      .alias("group_id"))
-              .groupBy("doc_id").agg(F.min("group_id").alias("group_id")))
-        groups = g2
-    return groups
+    return connected_groups(verified)
 
 
 # ---------------------------------------------------------------------------
@@ -220,25 +263,55 @@ def simhash_pairs(df: DataFrame, tokens_col: str = "tokens",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:
-    """All pairs with char-n-gram (set) Jaccard ≥ threshold, generated via
-    an exploded n-gram equi-join with per-pair overlap counting (the SQL
-    shape: explode → join on gram → groupBy pair → |∩| / (|A|+|B|−|∩|))."""
+    """All pairs with char-n-gram (set) Jaccard ≥ threshold — EXACT output,
+    scale-safe candidate generation.
+
+    The naive explode-join blows up near-quadratically on hot grams
+    (' th' joins across the whole corpus). This uses the standard prefix
+    filter (PPJoin family): order every doc's grams by ascending corpus
+    df (rarest first, ties by gram), keep only the first
+    |X| − ⌈θ·|X|⌉ + 1 grams per doc as join keys — any pair with
+    J ≥ θ must share a prefix gram under a global order — then verify
+    candidates exactly with JVM array_intersect over the full gram sets.
+    Hot grams land in suffixes and never join."""
+    from pyspark.sql.window import Window
+
     grams = (df.select(F.col(id_col).alias("doc_id"),
                        F.explode(F.array_distinct(
                            F.expr(f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
                                   f"i -> substring({text_col}, i, {n}))")))
                         .alias("gram")))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    l = grams.alias("l")
-    r = grams.alias("r")
-    inter = (l.join(r, on=[F.col("l.gram") == F.col("r.gram"),
-                           F.col("l.doc_id") < F.col("r.doc_id")])
-             .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    out = (inter
-           .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
-           .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
-           .withColumn("jaccard", F.col("inter")
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    ranked = grams.join(gram_df, "gram")
+    w = Window.partitionBy("doc_id").orderBy("gdf", "gram")
+    sz = Window.partitionBy("doc_id")
+    prefix = (ranked
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("sz", F.count(F.lit(1)).over(sz))
+              .where(F.col("rn") <= F.col("sz")
+                     - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1)
+              .select("doc_id", "gram"))
+
+    cand = (prefix.alias("l")
+            .join(prefix.alias("r"),
+                  on=[F.col("l.gram") == F.col("r.gram"),
+                      F.col("l.doc_id") < F.col("r.doc_id")])
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .dropDuplicates(["a", "b"]))
+
+    sets = grams.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("gs"),
+        F.count(F.lit(1)).alias("sz"))
+    out = (cand
+           .join(sets.select(F.col("doc_id").alias("a"),
+                             F.col("gs").alias("gs_a"),
+                             F.col("sz").alias("sa")), "a")
+           .join(sets.select(F.col("doc_id").alias("b"),
+                             F.col("gs").alias("gs_b"),
+                             F.col("sz").alias("sb")), "b")
+           .withColumn("inter", F.size(F.array_intersect("gs_a", "gs_b")))
+           .withColumn("jaccard", F.col("inter").cast("double")
                        / (F.col("sa") + F.col("sb") - F.col("inter")))
            .where(F.col("jaccard") >= threshold)
            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
