@@ -27,6 +27,19 @@ TOKEN_SPLIT = "[^a-z0-9]+"
 BM25_TERMS = ["data", "query", "spark"]
 K1, B = 1.2, 0.75
 
+# Deterministic-UDF twin pattern (round-2): entries whose Spark side uses a
+# UDF/banded join materialize the UDF outputs to parquet during the Spark
+# query; the oracle SQL re-derives the SAME downstream result from
+# read_parquet() over those outputs plus the base tables — turning
+# rows-only checks into value-hash-checked ones.
+MAT_DIR = "/tmp/ys_oracle_mat"
+
+
+def _materialize(df: DataFrame, name: str) -> str:
+    path = os.path.join(MAT_DIR, name)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -241,42 +254,128 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup groups via MinHash+LSH (rows-only check: the banded
-    signature join is not ANSI-SQL-expressible)."""
-    from yetisearch_spark.dedup import minhash_lsh_dedup
+    """Near-dup groups via MinHash+LSH. The verified candidate pairs (the
+    UDF+banding half) are materialized; the connected-components union is
+    oracle-checked against a DuckDB recursive CTE over the same pairs."""
+    from yetisearch_spark.dedup import connected_groups, minhash_verified_pairs
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_dedup(docs, num_hashes=64, bands=16,
-                             jaccard_threshold=0.5).orderBy("doc_id")
+    pairs = minhash_verified_pairs(docs, num_hashes=64, bands=16,
+                                   jaccard_threshold=0.5)
+    path = _materialize(pairs, "minhash_pairs")
+    return connected_groups(spark.read.parquet(path)).orderBy("doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via SimHash banding (rows-only)."""
-    from yetisearch_spark.dedup import simhash_pairs
+    """Near-dup candidate pairs via SimHash banding. Per-doc 64-bit hashes
+    are materialized; banding + Hamming verify are oracle-checked via
+    DuckDB integer shift/xor/bit_count over the same hashes."""
+    from yetisearch_spark.dedup import make_simhash_udf, simhash_pairs
     docs = (_docs(spark, sf_dir)
             .withColumn("tokens", F.split(F.lower("text"), TOKEN_SPLIT)))
-    return simhash_pairs(docs, max_hamming=6).orderBy("a", "b")
+    hashed = docs.select("doc_id",
+                         make_simhash_udf()(F.col("tokens")).alias("sh"))
+    path = _materialize(hashed, "simhash")
+    return (simhash_pairs(spark.read.parquet(path), max_hamming=6,
+                          hash_col="sh")
+            .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("a", "b"))
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets (rows-only; exact brute-force
-    twin is oracle-checked as ann_cosine_topk)."""
-    from yetisearch_spark.similarity import lsh_cosine_topk, lsh_index
+    """ANN via random-hyperplane LSH buckets. The bucket-candidate set is
+    materialized; the exact cosine re-rank over it is oracle-checked."""
+    from yetisearch_spark.similarity import (dot_expr, lsh_index, norm_expr)
+    import numpy as np
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4,
-                                dim=len(qvec))
-    return (lsh_cosine_topk(indexed, tables, qvec, k=10)
-            .where(F.col("vec_id") != 0))
+    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4, dim=len(qvec))
+    q = np.asarray(qvec, dtype=np.float64)
+    cond = None
+    for t, planes in enumerate(tables):
+        qb = int(sum((1 << i) for i, p in enumerate(planes)
+                     if float(np.dot(p, q)) >= 0))
+        c = F.col(f"bucket_{t}") == qb
+        cond = c if cond is None else (cond | c)
+    cand = indexed.where(cond & (F.col("vec_id") != 0)).select("vec_id")
+    path = _materialize(cand, "lsh_candidates")
+    cands = spark.read.parquet(path)
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    cos = dot_expr("embedding", q) / (norm_expr("embedding") * F.lit(qnorm))
+    return (emb.join(cands, "vec_id")
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic counts (rows-only; the n-gram voting isn't
-    SQL)."""
+    """Language-ID heuristic counts. Per-doc predictions materialized; the
+    aggregation is oracle-checked over the same predictions."""
     from yetisearch_spark.textstats import make_langid_udf
     docs = _docs(spark, sf_dir)
-    return (docs.select(make_langid_udf()(F.col("text")).alias("lang_pred"))
+    preds = docs.select("doc_id",
+                        make_langid_udf()(F.col("text")).alias("lang_pred"))
+    path = _materialize(preds, "langid")
+    return (spark.read.parquet(path)
             .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy("lang_pred"))
+
+
+def q_bm25_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field weighted BM25 (FTS5 bm25(fts, w…) semantics): field 0 =
+    first 4 tokens ("title"), field 1 = the rest; weights (2.0, 1.0).
+    tf_w = Σ instance-field weights, D = total tokens, row-level df."""
+    docs = _docs(spark, sf_dir)
+    tok = _tokens(docs)
+    n_docs = docs.count()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    w = F.when(F.col("pos") <= 3, F.lit(2.0)).otherwise(F.lit(1.0))
+    tfs = (tok.where(F.col("term").isin(BM25_TERMS))
+           .groupBy("doc_id", "term").agg(F.sum(w).alias("tfw")))
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_raw = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.when(idf_raw <= 0.0, F.lit(1e-6)).otherwise(idf_raw)
+    scored = (tfs.join(dfs, "term").join(dl, "doc_id")
+              .select("doc_id",
+                      (idf * F.col("tfw") * (K1 + 1.0)
+                       / (F.col("tfw")
+                          + K1 * (1.0 - B + B * F.col("dl").cast("double") / float(avgdl)))
+                       ).alias("c"))
+              .groupBy("doc_id").agg(F.sum("c").alias("s")))
+    return (scored.select("doc_id", F.round("s", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/O6: haversine k-NN over synthetic deterministic coordinates
+    (lat/lng derived from doc_id), SQL-variant distance (R=6371 km)."""
+    from yetisearch_spark.geo import haversine_m
+    docs = (_docs(spark, sf_dir)
+            .withColumn("lat", F.lit(-60.0) + (F.col("doc_id") % 240) * 0.5)
+            .withColumn("lng", F.lit(-180.0)
+                        + ((F.col("doc_id") * 7) % 720) * 0.5))
+    d = haversine_m(10.0, 20.0, "lat", "lng")
+    return (docs.select("doc_id", F.round(d, 2).alias("dist_m"))
+            .orderBy(F.asc("dist_m"), F.asc("doc_id")).limit(20))
+
+
+def q_chunk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking + A7 roll-up: chunk rows materialized; the per-parent
+    roll-up is oracle-checked over the same chunks."""
+    from yetisearch_spark.chunking import chunk_documents
+    docs = (_docs(spark, sf_dir).where(F.col("doc_id") < 500)
+            .select(F.col("doc_id").cast("string").alias("conv_id"),
+                    F.lit(0).alias("turn_idx"), "text"))
+    chunked = chunk_documents(docs, chunk_size=150, overlap=30)
+    path = _materialize(
+        chunked.select("parent_id", "chunk_index",
+                       F.length("text").alias("chunk_chars"), "is_chunk"),
+        "chunks")
+    ch = spark.read.parquet(path)
+    return (ch.groupBy("parent_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("chunk_chars").cast("long").alias("total_chars"),
+                 F.max("chunk_chars").cast("long").alias("max_chunk_chars"))
+            .orderBy("parent_id"))
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +409,42 @@ def q_engine_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _engine_index(spark, sf_dir)
     df = pruned_topk(idx, "data AND queri", k=10)
     return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_engine_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field BM25 weights + R2 rescoring through the live engine over a
+    two-field index (rows-only; float-exact weighted bm25 is verified vs
+    SQLite FTS5 by tests/test_multifield.py, and the semantic SQL twin is
+    oracle-checked as bm25_weighted_topk)."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    idx = _engine_index_mf(spark, sf_dir)
+    eng = Engine(spark, {})
+    eng.indexes["mf"] = idx
+    res = eng.search("mf", SearchQuery(query="data query", limit=10,
+                                       boost_fields={"title": 3.0}))
+    rows = [(r["document"]["doc_id"], float(r["score"]))
+            for r in res["results"]]
+    return spark.createDataFrame(rows or [(None, None)],
+                                 "doc_id long, score double").where(
+        F.col("doc_id").isNotNull())
+
+
+def q_engine_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo near-filter + distance sort through the live engine (rows-only;
+    the haversine itself is oracle-checked as geo_knn)."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    idx = _engine_index_mf(spark, sf_dir)
+    eng = Engine(spark, {})
+    eng.indexes["g"] = idx
+    res = eng.search("g", SearchQuery(
+        query="data", limit=10,
+        geo_filters={"near": {"lat": 0.0, "lng": 0.0, "radius": 3_000_000},
+                     "distance_sort": {"lat": 0.0, "lng": 0.0}}))
+    rows = [(r["document"]["doc_id"], round(float(r["distance"]), 2))
+            for r in res["results"]]
+    return spark.createDataFrame(rows or [(None, None)],
+                                 "doc_id long, dist_m double").where(
+        F.col("doc_id").isNotNull())
 
 
 def q_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +489,43 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+def _engine_index_mf(spark: SparkSession, sf_dir: str):
+    """Two-field (title, text) index with deterministic lat/lng columns —
+    exercises multi-field weights and geo through the real engine."""
+    from yetisearch_spark.build import build_index
+    from yetisearch_spark.query import SearchIndex
+
+    key = os.path.abspath(sf_dir) + "#mf"
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    out = os.path.join("/tmp/yetisearch_entry_idx",
+                       key.strip("/").replace("/", "_").replace("#", "_"))
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("source").alias("role"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 4))
+         .alias("title"),
+        "text",
+        (F.lit(-60.0) + (F.col("doc_id") % 240) * 0.5).alias("lat"),
+        (F.lit(-180.0) + ((F.col("doc_id") * 7) % 720) * 0.5).alias("lng"),
+        F.current_timestamp().alias("ts"))
+    try:
+        build_index(spark, transcripts, out, num_buckets=8,
+                    fields=["title", "text"], input_path=sf_dir)
+        idx = SearchIndex(spark, out)
+    except Exception:
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, transcripts, out, num_buckets=8,
+                    fields=["title", "text"], input_path=sf_dir,
+                    resume=False)
+        idx = SearchIndex(spark, out)
+    _ENGINE_CACHE[key] = idx
+    return idx
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine-built inverted index over sf0.001 documents, BM25
     top-10 for a mixed AND/OR/prefix query, joined back to doc payload."""
@@ -386,10 +558,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "langid": q_langid,
         "quality_features": q_quality_features,
+        "bm25_weighted_topk": q_bm25_weighted_topk,
+        "geo_knn": q_geo_knn,
+        "chunk_rollup": q_chunk_rollup,
         "engine_search": q_engine_search,
         "engine_fuzzy": q_engine_fuzzy,
         "engine_pruned_topk": q_engine_pruned_topk,
+        "engine_boosted": q_engine_boosted,
+        "engine_geo": q_engine_geo,
     }
+
+
+def _stop_list_sql() -> str:
+    from yetisearch_spark.analyzer import STOP_WORDS_EN
+    return ", ".join(f"'{w}'" for w in sorted(STOP_WORDS_EN))
+
+
+# simhash banding constants (max_hamming=6 → 7 bands of width 9, last 10)
+_SIMHASH_BANDS_SQL = ", ".join(
+    f"({i}, {i * 9}, {(1 << (9 if i < 6 else 10)) - 1})" for i in range(7))
 
 
 _TOK_SQL = """
@@ -546,10 +733,132 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3
             ORDER BY a, b
         """,
-        # engine_search / engine_fuzzy / engine_pruned_topk / minhash_dedup /
-        # simhash_pairs / lsh_ann / langid / quality_features: intentionally
-        # omitted — stemming, banded-hash joins and heuristics are not
-        # ANSI-SQL-expressible; the SQLite FTS5 rank-identity pytest suite,
-        # tests/test_wand.py (pruned == exact), and tests/test_pipeline_ops.py
-        # carry the strong checks for these.
+        "bm25_weighted_topk": f"""
+            WITH tok AS ({_TOK_SQL}),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+            tfs AS (SELECT doc_id, term,
+                           sum(CASE WHEN pos <= 4 THEN 2.0 ELSE 1.0 END) AS tfw
+                    FROM tok WHERE term IN ('data','query','spark')
+                    GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+            scored AS (
+                SELECT t.doc_id,
+                       sum( (CASE WHEN ln((g.n - d.df + 0.5)/(d.df + 0.5)) <= 0
+                                  THEN 0.000001
+                                  ELSE ln((g.n - d.df + 0.5)/(d.df + 0.5)) END)
+                            * t.tfw * {K1 + 1.0}
+                            / (t.tfw + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl)) ) AS s
+                FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id) CROSS JOIN g
+                GROUP BY t.doc_id)
+            SELECT doc_id, round(s, 4) AS score FROM scored
+            ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+        """,
+        "geo_knn": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -60.0 + (doc_id % 240) * 0.5 AS lat,
+                       -180.0 + ((doc_id * 7) % 720) * 0.5 AS lng
+                FROM documents),
+            d AS (
+                SELECT doc_id,
+                       round(2.0 * 6371.0 * asin(least(1.0, sqrt(
+                           pow(sin((radians(lat) - radians(10.0)) / 2), 2)
+                           + cos(radians(10.0)) * cos(radians(lat))
+                             * pow(sin((radians(lng) - radians(20.0)) / 2), 2)
+                       ))) * 1000.0, 2) AS dist_m
+                FROM pts)
+            SELECT doc_id, dist_m FROM d ORDER BY dist_m ASC, doc_id LIMIT 20
+        """,
+        "simhash_pairs": f"""
+            WITH h AS (SELECT doc_id, sh
+                       FROM read_parquet('{MAT_DIR}/simhash/*.parquet')),
+            bands(band, shift, mask) AS (VALUES {_SIMHASH_BANDS_SQL}),
+            b AS (SELECT doc_id, sh, band, (sh >> shift) & mask AS bv
+                  FROM h CROSS JOIN bands),
+            cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                            l.sh AS ha, r.sh AS hb
+                     FROM b l JOIN b r
+                       ON l.band = r.band AND l.bv = r.bv
+                      AND l.doc_id < r.doc_id)
+            SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+            ORDER BY a, b
+        """,
+        "langid": f"""
+            SELECT lang_pred, CAST(count(*) AS BIGINT) AS cnt
+            FROM read_parquet('{MAT_DIR}/langid/*.parquet')
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "minhash_dedup": f"""
+            WITH RECURSIVE
+            e AS (SELECT a, b FROM read_parquet('{MAT_DIR}/minhash_pairs/*.parquet')),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+            SELECT a AS doc_id, least(a, min(b)) AS group_id
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        "lsh_ann": f"""
+            WITH c AS (SELECT vec_id
+                       FROM read_parquet('{MAT_DIR}/lsh_candidates/*.parquet')),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding,
+                                                (SELECT qv FROM q)), 4) AS cos_sim
+            FROM embeddings e JOIN c USING(vec_id)
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "quality_features": rf"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            f AS (SELECT doc_id,
+                    length(text) AS n_chars,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS words,
+                    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
+                  FROM d),
+            g AS (SELECT doc_id,
+                    len(words) AS n_words,
+                    CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+                    CASE WHEN n_chars > 0 THEN digits / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+                    CASE WHEN n_chars > 0 THEN uppers / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS upper_ratio,
+                    CASE WHEN len(words) > 0
+                         THEN len(list_filter(words, x -> list_contains([{_stop_list_sql()}], lower(x))))
+                              / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+                    CASE WHEN len(words) > 0
+                         THEN list_sum(list_transform(words, x -> length(x)))
+                              / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_wl
+                  FROM f)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(stop_ratio, 4) AS stopword_ratio,
+                   round( (CASE WHEN n_words >= 5 AND n_words <= 5000 THEN 1.0 ELSE 0.3 END)
+                        * (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+                        * (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+                        * (CASE WHEN upper_ratio <= 0.3 THEN 1.0 ELSE 0.7 END)
+                        * (CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.6 END)
+                        * (CASE WHEN stop_ratio >= 0.1 AND stop_ratio <= 0.7 THEN 1.0 ELSE 0.8 END)
+                        , 4) AS quality_score
+            FROM g ORDER BY doc_id
+        """,
+        "chunk_rollup": f"""
+            SELECT parent_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(chunk_chars) AS BIGINT) AS total_chars,
+                   CAST(max(chunk_chars) AS BIGINT) AS max_chunk_chars
+            FROM read_parquet('{MAT_DIR}/chunks/*.parquet')
+            GROUP BY parent_id ORDER BY parent_id
+        """,
+        # engine_search / engine_fuzzy / engine_pruned_topk / engine_boosted /
+        # engine_geo: intentionally omitted — the full analyzer (stemming,
+        # stop words) is not ANSI-SQL-expressible; the SQLite FTS5
+        # rank-identity pytest suites (incl. multi-field weighted bm25) and
+        # tests/test_wand.py (pruned == exact) carry the strong checks, and
+        # each engine behavior has an oracle-checked semantic twin above.
     }

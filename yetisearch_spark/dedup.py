@@ -147,6 +147,20 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     agreeing signature slots (unbiased estimator, zero extra IO);
     "exact" joins the texts back and computes the true shingle-set
     Jaccard with JVM array ops (array_intersect/union — no Python)."""
+    verified = minhash_verified_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle=shingle, jaccard_threshold=jaccard_threshold,
+        verify=verify, seed=seed)
+    return connected_groups(verified)
+
+
+def minhash_verified_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", *, num_hashes: int = 128,
+                           bands: int = 32, shingle: int = 5,
+                           jaccard_threshold: float = 0.8,
+                           verify: str = "estimate",
+                           seed: int = 7) -> DataFrame:
+    """Candidate generation + verify half of minhash_lsh_dedup → (a, b)."""
     rows_per_band = num_hashes // bands
     sig_udf = make_minhash_udf(num_hashes, shingle, seed)
     sigs = (df.select(F.col(id_col).alias("doc_id"),
@@ -183,16 +197,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                              F.col("gs").alias("gs_b"))
         jac = (F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
                / F.size(F.array_union("gs_a", "gs_b")))
-        verified = (pairs.select("a", "b").join(ga, "a").join(gb, "b")
-                    .where(jac >= jaccard_threshold).select("a", "b"))
-    else:
-        # estimated Jaccard = fraction of agreeing signature slots
-        est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                          lambda x, y: x == y), lambda v: v))
-               / F.lit(float(num_hashes)))
-        verified = pairs.where(est >= jaccard_threshold).select("a", "b")
-
-    return connected_groups(verified)
+        return (pairs.select("a", "b").join(ga, "a").join(gb, "b")
+                .where(jac >= jaccard_threshold).select("a", "b"))
+    # estimated Jaccard = fraction of agreeing signature slots
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda v: v))
+           / F.lit(float(num_hashes)))
+    return pairs.where(est >= jaccard_threshold).select("a", "b")
 
 
 # ---------------------------------------------------------------------------
@@ -225,15 +236,23 @@ def make_simhash_udf(seed: int = 11):
 
 
 def simhash_pairs(df: DataFrame, tokens_col: str = "tokens",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  hash_col: str | None = None) -> DataFrame:
     """Candidate near-dup pairs by simhash banding: split the 64-bit hash
     into (max_hamming+1) bands — any pair within the Hamming radius shares
-    at least one exact band (pigeonhole). → (a, b, hamming)."""
+    at least one exact band (pigeonhole). → (a, b, hamming).
+
+    ``hash_col``: use a precomputed 64-bit simhash column instead of
+    hashing ``tokens_col`` (lets callers materialize hashes once)."""
     nbands = max_hamming + 1
     width = 64 // nbands
-    sim_udf = make_simhash_udf()
-    hashed = df.select(F.col(id_col).alias("doc_id"),
-                       sim_udf(F.col(tokens_col)).alias("sh"))
+    if hash_col is not None:
+        hashed = df.select(F.col(id_col).alias("doc_id"),
+                           F.col(hash_col).alias("sh"))
+    else:
+        sim_udf = make_simhash_udf()
+        hashed = df.select(F.col(id_col).alias("doc_id"),
+                           sim_udf(F.col(tokens_col)).alias("sh"))
     bands = []
     for i in range(nbands):
         shift = i * width
