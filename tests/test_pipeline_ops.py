@@ -311,11 +311,14 @@ def test_multimodal_image_plumbing(media):
         {r["media_id"]: r["features"] for r in rows}
 
 
-def test_multimodal_stub_raises(media):
+def test_multimodal_undecodable_rows_quarantine_as_nulls(media):
+    """Real decode path: payloads in unknown formats surface NULL columns
+    instead of failing the job (tests/test_multimodal_real.py covers the
+    successful PNG/BMP/WAV decodes)."""
     from yetisearch_spark.multimodal import image_features
-    import pyspark
-    with pytest.raises(Exception):  # NotImplementedError inside the worker
-        image_features(media, deterministic_fake=False).collect()
+    rows = image_features(media, deterministic_fake=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["width"] is None and rows[0]["features"] is None
 
 
 def test_multimodal_audio_video(media):
