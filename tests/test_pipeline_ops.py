@@ -317,8 +317,8 @@ def test_multimodal_undecodable_rows_quarantine_as_nulls(media):
     successful PNG/BMP/WAV decodes)."""
     from yetisearch_spark.multimodal import image_features
     rows = image_features(media, deterministic_fake=False).collect()
-    assert len(rows) == 1
-    assert rows[0]["width"] is None and rows[0]["features"] is None
+    assert len(rows) == 2  # both fake-PNG image rows quarantine
+    assert all(r["width"] is None and r["features"] is None for r in rows)
 
 
 def test_multimodal_audio_video(media):
