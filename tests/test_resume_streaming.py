@@ -143,6 +143,53 @@ def test_delete_by_conv_prefix(spark, tmp_path):
         F.col("conv_id").startswith(target_prefix)).count() == 0
 
 
+def test_upsert_documents(spark, tmp_path):
+    """S2/S4: re-ingesting an existing (conv_id, turn_idx) replaces the old
+    version — searches hit only the new text, old ids are tombstoned."""
+    from yetisearch_spark.streaming import SegmentedIndex, upsert_documents
+
+    pdf = generate_transcripts(120, seed=81)
+    idx_dir = str(tmp_path / "upsert_idx")
+    build_index(spark, spark.createDataFrame(pdf), idx_dir, num_buckets=4)
+
+    victim = pdf.iloc[0]
+    updated = pdf.iloc[[0]].copy()
+    updated["text"] = "replacement walrus content entirely new"
+    new_rows = generate_transcripts(10, seed=82)
+    new_rows["conv_id"] = new_rows["conv_id"].str.replace("conv_", "new_")
+    batch = __import__("pandas").concat([updated, new_rows])
+
+    out = upsert_documents(spark, idx_dir, spark.createDataFrame(batch),
+                           epoch=0)
+    assert out["replaced"] == 1
+    assert out["inserted"] == 11
+
+    seg = SegmentedIndex(spark, idx_dir)
+    hits = seg.search("walrus", k=5).collect()
+    assert len(hits) == 1 and hits[0]["doc_id"] >= 120
+    # the replaced identity resolves to exactly one live doc — the new one
+    live = seg.docs().where(
+        (F.col("conv_id") == victim["conv_id"])
+        & (F.col("turn_idx") == int(victim["turn_idx"]))).collect()
+    assert len(live) == 1 and "walrus" in live[0]["text"]
+
+
+def test_synonyms_per_language_and_file(tmp_path):
+    from yetisearch_spark.correction import expand_synonyms
+    nested = {"en": {"car": ["automobile", "vehicle"]},
+              "fr": {"voiture": ["automobile"]}}
+    assert expand_synonyms(["car"], nested, language="en") \
+        == {"car": ["automobile", "vehicle"]}
+    assert expand_synonyms(["voiture"], nested, language="fr") \
+        == {"voiture": ["automobile"]}
+    assert expand_synonyms(["car"], nested, language="fr") == {}
+    # file source
+    import json
+    p = tmp_path / "syn.json"
+    p.write_text(json.dumps({"bug": ["defect", "fault"]}))
+    assert expand_synonyms(["Bug"], str(p)) == {"Bug": ["defect", "fault"]}
+
+
 def test_build_with_language_option(spark, tmp_path):
     import pandas as pd
     texts = ["Les ordinateurs sont utiles pour les développeurs",

@@ -297,16 +297,45 @@ class Corrector:
 
 # -- Z9: synonym expansion ------------------------------------------------------
 
-def expand_synonyms(tokens: list[str], synonyms: dict[str, list[str]],
-                    max_per_term: int = 3, total_cap: int = 10) -> dict[str, list[str]]:
-    """term → synonym list (capped), mirroring the reference's flat-map
-    expansion (src/Search/SearchEngine.php:2157-2213). Multi-word synonyms
+def load_synonyms(source) -> dict:
+    """Synonym map from a dict OR a JSON file path (the reference accepts
+    both, src/Search/SearchEngine.php:2159-2173)."""
+    import json
+    import os
+    if isinstance(source, str) and os.path.exists(source):
+        with open(source) as f:
+            decoded = json.load(f)
+        return decoded if isinstance(decoded, dict) else {}
+    return source if isinstance(source, dict) else {}
+
+
+def resolve_synonym_map(synonyms, language: str | None = None) -> dict:
+    """Per-language sub-maps: {'en': {...}, 'fr': {...}} selects by query
+    language; a flat map applies to every language
+    (reference: src/Search/SearchEngine.php:2176-2179)."""
+    m = load_synonyms(synonyms)
+    if language and isinstance(m.get(language), dict):
+        return m[language]
+    return m
+
+
+def expand_synonyms(tokens: list[str], synonyms,
+                    max_per_term: int = 3, total_cap: int = 10,
+                    language: str | None = None,
+                    case_sensitive: bool = False) -> dict[str, list[str]]:
+    """term → synonym list (capped), mirroring the reference's expansion
+    (src/Search/SearchEngine.php:2157-2213): per-language sub-map or flat
+    map, optional file source, per-term + total caps. Multi-word synonyms
     are returned as-is; the query compiler turns them into phrases."""
+    smap = resolve_synonym_map(synonyms, language)
     out: dict[str, list[str]] = {}
     budget = total_cap
     for tok in tokens:
-        alts = synonyms.get(tok.lower(), [])[:max_per_term]
-        alts = alts[:max(0, budget)]
+        key = tok if case_sensitive else tok.lower()
+        alts = smap.get(key, [])
+        if not isinstance(alts, list):
+            continue
+        alts = alts[:max_per_term][:max(0, budget)]
         if alts:
             out[tok] = alts
             budget -= len(alts)

@@ -251,7 +251,8 @@ class Engine:
             node = parse_query(q.query)
             if self.config["enable_synonyms"] and self.config["synonyms"]:
                 toks = analyze(q.query)
-                syn = expand_synonyms(toks, self.config["synonyms"])
+                syn = expand_synonyms(toks, self.config["synonyms"],
+                                      language=q.language)
                 extra = [s for alts in syn.values() for s in alts]
                 if extra:
                     parts = [node] if node else []

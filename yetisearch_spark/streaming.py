@@ -112,6 +112,28 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None
     df.write.mode("append").parquet(tombstone_path(index_dir))
 
 
+def upsert_documents(spark: SparkSession, index_dir: str,
+                     transcripts: DataFrame, epoch: int,
+                     **build_kwargs) -> dict:
+    """S2/S4 per-document MERGE: tombstone every live doc whose
+    (conv_id, turn_idx) identity matches an incoming row, then append the
+    batch as a new segment — the delete-vector equivalent of the
+    reference's per-id REPLACE upsert (src/Storage/SqliteStorage.php:
+    359-763). Returns {"replaced": n, "inserted": m, "manifest": ...}."""
+    seg = SegmentedIndex(spark, index_dir)
+    keys = transcripts.select("conv_id", "turn_idx").dropDuplicates()
+    victims = (seg.docs().join(keys, ["conv_id", "turn_idx"], "left_semi")
+               .select("doc_id"))
+    n_replaced = victims.count()
+    if n_replaced:
+        victims.write.mode("append").parquet(tombstone_path(index_dir))
+    manifest = append_segment(spark, index_dir, transcripts, epoch,
+                              **build_kwargs)
+    return {"replaced": n_replaced,
+            "inserted": int(manifest["stages"]["docs"]["counters"]["docs"]),
+            "manifest": manifest}
+
+
 def delete_by_conv_prefix(spark: SparkSession, index_dir: str,
                           prefix: str) -> int:
     """S6 deleteByIdPrefix analog: tombstone every doc whose conv_id starts
