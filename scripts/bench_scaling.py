@@ -94,7 +94,9 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
         }
         print(json.dumps(summary))
-        with open(os.path.join(REPO, "scaling_result.json"), "w") as f:
+        # latest raw run only — the consolidated history lives in
+        # scaling_result.json (curated by hand across rounds)
+        with open(os.path.join(REPO, "scaling_run_latest.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
 
