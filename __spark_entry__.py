@@ -306,6 +306,29 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the partition-pruned scale path): cell
+    assignments + probed-cell membership materialized; the exact cosine
+    re-rank over probed vectors is oracle-checked."""
+    import numpy as np
+    from yetisearch_spark.similarity import (dot_expr, ivf_index, norm_expr)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    indexed, cents = ivf_index(emb, n_cells=16)
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(c) for c in np.argsort(-(cents @ qn))[:4]]
+    cand = (indexed.where(F.col("cell").isin(probes)
+                          & (F.col("vec_id") != 0)).select("vec_id"))
+    path = _materialize(cand, "ivf_candidates")
+    cands = spark.read.parquet(path)
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    cos = dot_expr("embedding", q) / (norm_expr("embedding") * F.lit(qnorm))
+    return (emb.join(cands, "vec_id")
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic counts. Per-doc predictions materialized; the
     aggregation is oracle-checked over the same predictions."""
@@ -556,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "langid": q_langid,
         "quality_features": q_quality_features,
         "bm25_weighted_topk": q_bm25_weighted_topk,
@@ -805,6 +829,16 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": f"""
             WITH c AS (SELECT vec_id
                        FROM read_parquet('{MAT_DIR}/lsh_candidates/*.parquet')),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding,
+                                                (SELECT qv FROM q)), 4) AS cos_sim
+            FROM embeddings e JOIN c USING(vec_id)
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "ivf_ann": f"""
+            WITH c AS (SELECT vec_id
+                       FROM read_parquet('{MAT_DIR}/ivf_candidates/*.parquet')),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding,

@@ -74,7 +74,7 @@ def test_with_docs_uses_broadcast_join(index):
 
 def test_wholestage_codegen_on_scoring(index):
     from yetisearch_spark.query import parse_query
-    df = index.match_scores(parse_query("data AND process"))
+    df = index.match_scores(parse_query("data OR process"))
     df.collect()  # AQE finalizes the plan on execution
     plan = _plan(df)
     # '*(n)' markers are WholeStageCodegen spans in treeString output
@@ -87,15 +87,26 @@ def test_wholestage_codegen_on_scoring(index):
     assert final.count("Exchange hashpartitioning") == 1, final
 
 
-def test_search_page_runs_single_shuffle_per_query(index):
-    """An AND-of-terms search plan must contain exactly one scoring
+def test_or_query_single_shuffle_any_width(index):
+    """An OR-of-terms scoring plan must contain exactly one scoring
     exchange regardless of term count (scale: shuffles don't grow with
     query length)."""
+    from yetisearch_spark.query import parse_query
+    df = index.match_scores(parse_query("data OR process OR system OR run"))
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_and_query_is_shuffle_free_broadcast_join(index):
+    """A flat AND of single terms joins the cached per-term match tables
+    with broadcasts — ZERO shuffle exchanges in the scoring plan."""
     from yetisearch_spark.query import parse_query
     df = index.match_scores(parse_query("data process system run check"))
     df.collect()
     final = _plan(df).split("== Initial Plan ==")[0]
-    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Exchange hashpartitioning") == 0, final
+    assert "BroadcastHashJoin" in final, final
 
 
 def test_metadata_phase_never_reads_data_column(index):

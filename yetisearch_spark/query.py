@@ -853,6 +853,36 @@ class SearchIndex:
             out._ys_handles = handles  # type: ignore[attr-defined]
             return out
 
+        # shuffle-free AND fast path: a flat AND of single terms is an
+        # inner join of the (cached) per-term match tables — broadcast the
+        # rarer sides into the most frequent term's scan, sum contributions
+        # in slot order (all slots present on every surviving row, so the
+        # ordered projection is float-identical to the aggregation fold).
+        if (isinstance(node, And)
+                and all(isinstance(c, Phrase) and len(c.terms) == 1
+                        for c in node.children)):
+            kids = list(node.children)
+            largest = max(range(len(kids)), key=lambda i: phrase_df[kids[i]])
+            joined = None
+            cols = []
+            for i, p in enumerate(kids):
+                c = phrase_contrib(p).alias(f"c{i}")
+                part = phrase_tables[p].select("doc_id", c)
+                cols.append(f"c{i}")
+                if joined is None:
+                    joined = part if i == largest else F.broadcast(part)
+                elif i == largest:
+                    # keep the big side un-broadcast; join flips are fine
+                    joined = joined.join(part, "doc_id")
+                else:
+                    joined = joined.join(F.broadcast(part), "doc_id")
+            score = None
+            for name in cols:  # slot order == children order
+                score = F.col(name) if score is None else score + F.col(name)
+            out = joined.select("doc_id", score.alias("score"))
+            out._ys_handles = handles  # type: ignore[attr-defined]
+            return out
+
         contribs = None
         for i, slot in enumerate(slots):
             if slot[0] == "phrase":

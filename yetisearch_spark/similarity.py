@@ -118,14 +118,13 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     cents = sample[picks]
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
-    # nearest centroid by dot product (normalized vectors): greatest() chain
-    best_cell = F.lit(0)
-    best_dot = dot_expr(vec_col, cents[0]) / norm_expr(vec_col)
-    for i in range(1, len(cents)):
-        d = dot_expr(vec_col, cents[i]) / norm_expr(vec_col)
-        cond = d > best_dot
-        best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-        best_dot = F.when(cond, d).otherwise(best_dot)
+    # nearest centroid = argmax over a dot-product ARRAY — linear
+    # expression size (a chained when() that re-references the running
+    # best doubles the tree per cell: 2^16 Catalyst nodes at 16 cells
+    # OOMed the driver during analysis)
+    dots = F.array(*[dot_expr(vec_col, cents[i]) / norm_expr(vec_col)
+                     for i in range(len(cents))])
+    best_cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     return df.withColumn("cell", best_cell), cents
 
 

@@ -106,7 +106,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     prune_stats = None
     if sum(est_blocks.values()) <= driver_cap:
         full_terms, selected, meta_counts = _driver_select(
-            meta, terms, stats, idf, shape, k)
+            meta, terms, stats, idf, shape, k, index=index)
         if not selected and not full_terms:
             return index.spark.createDataFrame([], "doc_id long, score double")
         sel_df = None
@@ -170,17 +170,36 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
 # driver-side selection (small metadata; bounded by driver_cap)
 # ---------------------------------------------------------------------------
 
-def _driver_select(meta: DataFrame, terms, stats, idf, shape, k):
+def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
+                   index: SearchIndex | None = None):
     """Collect ≤ driver_cap metadata rows and run the exact selection
-    algorithms locally.
+    algorithms locally; per-term metadata is memoized on the index (hot
+    serving: repeated terms skip the metadata job entirely).
     → (full_terms, selected {(term, min_doc)}, per-term block counts)."""
-    rows = meta.collect()
-    by_term: dict[str, list] = {t: [] for t in terms}
-    for r in rows:
-        by_term[r["term"]].append((r["min_doc"], r["max_doc"],
-                                   r["n_docs"], r["block_max_norm"]))
+    cache = getattr(index, "_block_meta_cache", None) if index is not None \
+        else None
+    if cache is None and index is not None:
+        cache = index._block_meta_cache = {}  # type: ignore[attr-defined]
+    by_term: dict[str, list] = {}
+    missing = [t for t in terms if cache is None or t not in cache]
+    if missing:
+        rows = meta.where(F.col("term").isin(missing)).collect()
+        fresh: dict[str, list] = {t: [] for t in missing}
+        for r in rows:
+            fresh[r["term"]].append((r["min_doc"], r["max_doc"],
+                                     r["n_docs"], r["block_max_norm"]))
+        if cache is not None:
+            cache.update(fresh)
+            while len(cache) > 4096:  # bound driver memory
+                cache.pop(next(iter(cache)))
+        by_term.update(fresh)
+    if cache is not None:
+        for t in terms:
+            if t not in by_term:
+                by_term[t] = cache[t]
+    by_term = {t: by_term.get(t, []) for t in terms}
     meta_counts = {t: len(v) for t, v in by_term.items()}
-    if not rows:
+    if not any(by_term.values()):
         return [], set(), meta_counts
 
     selected: dict[str, set] = {t: set() for t in terms}
