@@ -143,6 +143,40 @@ def test_delete_by_conv_prefix(spark, tmp_path):
         F.col("conv_id").startswith(target_prefix)).count() == 0
 
 
+def test_multifield_segments_and_compaction_inherit_fields(spark, tmp_path):
+    """Segments and compaction of a multi-field index must index the same
+    fields (and preserve weighted search), not silently fall back to
+    single-field."""
+    from yetisearch_spark.streaming import (SegmentedIndex, append_segment,
+                                            compact)
+
+    base = generate_transcripts(150, seed=91)
+    base["title"] = base["text"].str.split().str[:3].str.join(" ")
+    extra = generate_transcripts(50, seed=92)
+    extra["conv_id"] = extra["conv_id"].str.replace("conv_", "mfseg_")
+    extra["title"] = "special zygote title"
+
+    idx_dir = str(tmp_path / "mf_seg_idx")
+    build_index(spark, spark.createDataFrame(base), idx_dir, num_buckets=4,
+                fields=["title", "text"])
+    append_segment(spark, idx_dir, spark.createDataFrame(extra), epoch=0)
+
+    seg_manifest = load_manifest(os.path.join(idx_dir, "segments", "epoch=0"))
+    assert seg_manifest["config"]["fields"] == ["title", "text"]
+    seg = SegmentedIndex(spark, idx_dir)
+    hits = seg.search("zygote", k=5).collect()
+    assert len(hits) == 5  # title-only term found → segment indexed titles
+
+    out = str(tmp_path / "mf_compacted")
+    compact(spark, idx_dir, out)
+    cm = load_manifest(out)
+    assert cm["config"]["fields"] == ["title", "text"]
+    cidx = SearchIndex(spark, out)
+    # weighted search works over the compacted index (title-boosted)
+    rows = cidx.search('"zygote"', k=5, weights={"title": 3.0}).collect()
+    assert len(rows) == 5
+
+
 def test_upsert_documents(spark, tmp_path):
     """S2/S4: re-ingesting an existing (conv_id, turn_idx) replaces the old
     version — searches hit only the new text, old ids are tombstoned."""

@@ -68,7 +68,9 @@ def append_segment(spark: SparkSession, index_dir: str,
     kwargs = {"num_buckets": cfg.get("num_buckets", 32),
               "block_size": cfg.get("block_size", 128),
               "salt_threshold": cfg.get("salt_threshold", 100_000),
-              "num_salts": cfg.get("num_salts", 16)}
+              "num_salts": cfg.get("num_salts", 16),
+              "language": cfg.get("language", "english"),
+              "fields": cfg.get("fields", ["text"])}
     kwargs.update(build_kwargs)
     # doc_id_base threads the shift through the build itself, so posting
     # blobs, block min/max metadata and the docs view all live in the same
@@ -206,14 +208,22 @@ class SegmentedIndex:
 def compact(spark: SparkSession, index_dir: str, out_dir: str,
             **build_kwargs) -> dict:
     """S9 'optimize': rebuild ONE index from base+segments minus
-    tombstones. Returns the new manifest."""
+    tombstones. Returns the new manifest. Inherits the base index's
+    analyzer language and field list (a multi-field index compacts
+    multi-field)."""
     seg = SegmentedIndex(spark, index_dir)
     docs = seg.docs()
-    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    present = [c for c in cols if c in docs.columns]
-    transcripts = docs.select(*present)
     cfg = load_manifest(index_dir).get("config", {})
-    kwargs = {"num_buckets": cfg.get("num_buckets", 32)}
+    fields = cfg.get("fields", ["text"])
+    # keep every original column except build artifacts
+    drop = {"doc_id", "tokens", "doc_len", "field_lens", "_pid", "_ord"}
+    present = [c for c in docs.columns if c not in drop]
+    # fields and identity must survive; anything else rides along
+    assert all(f in present for f in fields), (fields, present)
+    transcripts = docs.select(*present)
+    kwargs = {"num_buckets": cfg.get("num_buckets", 32),
+              "language": cfg.get("language", "english"),
+              "fields": fields}
     kwargs.update(build_kwargs)
     return build_index(spark, transcripts, out_dir,
                        input_path=f"<compaction of {index_dir}>", **kwargs)
