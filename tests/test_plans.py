@@ -74,7 +74,7 @@ def test_with_docs_uses_broadcast_join(index):
 
 def test_wholestage_codegen_on_scoring(index):
     from yetisearch_spark.query import parse_query
-    df = index.match_scores(parse_query("data OR process"))
+    df = index.match_scores(parse_query("(data AND process) OR system"))
     df.collect()  # AQE finalizes the plan on execution
     plan = _plan(df)
     # '*(n)' markers are WholeStageCodegen spans in treeString output
@@ -107,6 +107,44 @@ def test_and_query_is_shuffle_free_broadcast_join(index):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 0, final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_flat_or_skips_qualification_column(index):
+    """A flat OR is trivially qualified — the plan must carry no
+    collect_set/array_contains work through the shuffle."""
+    from yetisearch_spark.query import parse_query
+    df = index.match_scores(parse_query("data OR process OR system"))
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "collect_set" not in final, final
+    assert "array_contains" not in final, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_broadcast_guard_falls_back_to_shuffle(index):
+    """With the broadcast cap at 0 (simulating head terms at corpus
+    scale), AND/OR must take the single-shuffle aggregation and return
+    identical results."""
+    from yetisearch_spark.query import parse_query
+    want_and = [(r["doc_id"], round(r["score"], 9)) for r in
+                index.search("data AND process", k=10).collect()]
+    want_or = [(r["doc_id"], round(r["score"], 9)) for r in
+               index.search("data OR process", k=10).collect()]
+    old = index.BROADCAST_DF_CAP
+    index.BROADCAST_DF_CAP = 0
+    try:
+        df = index.match_scores(parse_query("data AND process"))
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1, final
+        got_and = [(r["doc_id"], round(r["score"], 9)) for r in
+                   index.search("data AND process", k=10).collect()]
+        got_or = [(r["doc_id"], round(r["score"], 9)) for r in
+                  index.search("data OR process", k=10).collect()]
+    finally:
+        index.BROADCAST_DF_CAP = old
+    assert got_and == want_and
+    assert got_or == want_or
 
 
 def test_metadata_phase_never_reads_data_column(index):

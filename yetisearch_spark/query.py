@@ -426,6 +426,10 @@ class SearchIndex:
     #: bound on live persisted per-query match tables for callers that
     #: never call release() (engine does; ad-hoc users are still bounded)
     HANDLE_GROUPS_MAX = 16
+    #: max docs a per-term match table may hold and still be broadcast in
+    #: the shuffle-free AND/OR join paths (head terms fall back to the
+    #: single-shuffle aggregation)
+    BROADCAST_DF_CAP = 4_000_000
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_postings: bool = True, cache_docs: bool = True):
@@ -510,7 +514,11 @@ class SearchIndex:
         return self._cached_decoded(("p", prefix), factory)
 
     def _empty_match(self) -> DataFrame:
-        return self.spark.createDataFrame([], _MATCH_SCHEMA)
+        # emptyRDD → ZERO partitions: a plain createDataFrame([], schema)
+        # carries defaultParallelism empty partitions, and an OOV-heavy OR
+        # union would schedule dozens of no-op tasks per query
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.emptyRDD(), _MATCH_SCHEMA)
 
     # -- persisted per-query handles ------------------------------------------
 
@@ -853,14 +861,25 @@ class SearchIndex:
             out._ys_handles = handles  # type: ignore[attr-defined]
             return out
 
-        # shuffle-free AND fast path: a flat AND of single terms is an
-        # inner join of the (cached) per-term match tables — broadcast the
-        # rarer sides into the most frequent term's scan, sum contributions
-        # in slot order (all slots present on every surviving row, so the
-        # ordered projection is float-identical to the aggregation fold).
-        if (isinstance(node, And)
-                and all(isinstance(c, Phrase) and len(c.terms) == 1
-                        for c in node.children)):
+        # shuffle-free boolean fast paths over flat single-term trees.
+        # Broadcast-join safety: every table except the largest must be
+        # under BROADCAST_DF_CAP docs — an AND/OR of two head terms at
+        # 10^12 docs falls back to the shuffle instead of OOMing an
+        # executor with a giga-row broadcast.
+        def _flat_single_terms(n):
+            return all(isinstance(c, Phrase) and len(c.terms) == 1
+                       for c in n.children)
+
+        def _broadcastable(kids):
+            dfs = sorted(phrase_df[p] for p in kids)
+            return all(d <= self.BROADCAST_DF_CAP for d in dfs[:-1])
+
+        # AND: inner join of the (cached) per-term match tables — rarer
+        # sides broadcast into the most frequent term's scan, contributions
+        # summed in slot order (all slots present on every surviving row,
+        # so the ordered projection is float-identical to the fold).
+        if (isinstance(node, And) and _flat_single_terms(node)
+                and _broadcastable(node.children)):
             kids = list(node.children)
             largest = max(range(len(kids)), key=lambda i: phrase_df[kids[i]])
             joined = None
@@ -883,6 +902,12 @@ class SearchIndex:
             out._ys_handles = handles  # type: ignore[attr-defined]
             return out
 
+        # (Measured dead end, kept as a note: a disjoint subset
+        # decomposition makes OR shuffle-free too — A∪B = (A∖B) ∪ (B∖A) ∪
+        # (A∩B) with broadcast inner/anti joins — but the 2^k−1 branches
+        # re-scan every term table and it measured 5–7× SLOWER than the
+        # single-shuffle aggregation at k=3. OR stays on the aggregation.)
+
         contribs = None
         for i, slot in enumerate(slots):
             if slot[0] == "phrase":
@@ -901,11 +926,21 @@ class SearchIndex:
         ordered_sum = F.aggregate(
             F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
             F.lit(0.0), lambda acc, x: acc + x["c"])
-        scored = (contribs.groupBy("doc_id")
-                  .agg(ordered_sum.alias("score"),
-                       F.collect_set("slot").alias("_slots")))
-        out = (scored.where(_qual_expr(node, [0]))
-               .select("doc_id", "score"))
+        # a flat OR of single-table children is trivially qualified: every
+        # contribution row already implies a match, so the slot-set column
+        # and the filter are dead weight in the shuffle
+        trivially_qualified = isinstance(node, Or) and all(
+            isinstance(c, (Phrase, PrefixNode, Near)) for c in node.children)
+        if trivially_qualified:
+            out = (contribs.groupBy("doc_id")
+                   .agg(ordered_sum.alias("score"))
+                   .select("doc_id", "score"))
+        else:
+            scored = (contribs.groupBy("doc_id")
+                      .agg(ordered_sum.alias("score"),
+                           F.collect_set("slot").alias("_slots")))
+            out = (scored.where(_qual_expr(node, [0]))
+                   .select("doc_id", "score"))
         out._ys_handles = handles  # type: ignore[attr-defined]
         return out
 
