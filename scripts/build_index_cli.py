@@ -4,7 +4,13 @@ table (reference D5 `index:rebuild` analog).
 
     spark-submit --py-files yetisearch_spark.zip scripts/build_index_cli.py \
         --input /path/transcripts_parquet --output /path/index \
+        [--format parquet|table|json|orc] [--fields title,text] \
         [--num-buckets 64] [--num-salts 16] [--block-size 128] [--fresh]
+
+`--format table` resolves `--input` as a catalog identifier
+(`spark.table(...)`) — on a cluster with the Iceberg runtime configured,
+that is the Iceberg transcript table directly; the build is
+source-agnostic past the read.
 
 Package zip: `cd repo && zip -r yetisearch_spark.zip yetisearch_spark`.
 In local mode, plain `python scripts/build_index_cli.py ...` works too.
@@ -23,6 +29,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "table", "json", "orc"],
+                    help="'table' reads a catalog identifier (e.g. an "
+                         "Iceberg table) via spark.table()")
+    ap.add_argument("--fields", default="text",
+                    help="comma-separated indexed text columns")
+    ap.add_argument("--language", default="english")
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--block-size", type=int, default=128)
@@ -37,13 +50,18 @@ def main() -> None:
              .config("spark.sql.adaptive.enabled", "true").getOrCreate())
     from yetisearch_spark.build import build_index
 
-    transcripts = spark.read.parquet(args.input)
+    if args.format == "table":
+        transcripts = spark.table(args.input)
+    else:
+        transcripts = spark.read.format(args.format).load(args.input)
     t0 = time.time()
     manifest = build_index(
         spark, transcripts, args.output,
         num_buckets=args.num_buckets, num_salts=args.num_salts,
         block_size=args.block_size,
         shuffle_partitions=args.shuffle_partitions,
+        fields=[f.strip() for f in args.fields.split(",") if f.strip()],
+        language=args.language,
         input_path=args.input, resume=not args.fresh)
     wall = time.time() - t0
     n = manifest["stages"]["docs"]["counters"]["docs"]
