@@ -140,26 +140,70 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     from .query import _DECODED_SCHEMA, _decode_factory
     pruned = src.mapInPandas(_decode_factory(False), schema=_DECODED_SCHEMA)
 
-    # phase 2 scoring: same union + single-aggregation shape as the exact
-    # path (one shuffle regardless of term count)
-    contribs = None
-    for i, t in enumerate(terms):
-        branch = (pruned.where(F.col("term") == t)
-                  .select("doc_id", F.lit(i).alias("slot"),
-                          index._contrib_expr("tf", idf[t]).alias("c")))
-        contribs = branch if contribs is None else contribs.unionByName(branch)
-    ordered_sum = F.aggregate(
-        F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
-        F.lit(0.0), lambda acc, x: acc + x["c"])
-    scored = (contribs.groupBy("doc_id")
-              .agg(ordered_sum.alias("score"),
-                   F.collect_set("slot").alias("_slots")))
-    if shape == "and":
+    # phase 2 scoring, per shape:
+    #   single — plain projection (no shuffle at all)
+    #   and    — broadcast inner joins of the per-term slices, slot-order
+    #            sum (no shuffle; mirrors the exact path's AND fast path)
+    #   or     — union + ONE aggregation with the ordered fold; flat OR is
+    #            trivially qualified so no slot-set is carried
+    if shape == "single":
+        t = terms[0]
+        scored = pruned.select(
+            "doc_id", index._contrib_expr("tf", idf[t]).alias("score"))
+    elif shape == "and" and all(
+            d <= index.BROADCAST_DF_CAP
+            for d in sorted(stats[t][0] for t in terms)[:-1]):
+        largest = max(range(len(terms)), key=lambda i: stats[terms[i]][0])
+        joined = None
+        for i, t in enumerate(terms):
+            part = (pruned.where(F.col("term") == t)
+                    .select("doc_id",
+                            index._contrib_expr("tf", idf[t]).alias(f"c{i}")))
+            if joined is None:
+                joined = part if i == largest else F.broadcast(part)
+            elif i == largest:
+                joined = joined.join(part, "doc_id")
+            else:
+                joined = joined.join(F.broadcast(part), "doc_id")
+        score = None
+        for i in range(len(terms)):  # slot order
+            c = F.col(f"c{i}")
+            score = c if score is None else score + c
+        scored = joined.select("doc_id", score.alias("score"))
+    elif shape == "and":
+        # head-term AND above the broadcast cap: one aggregation shuffle
+        # with slot-set qualification
+        contribs = None
+        for i, t in enumerate(terms):
+            branch = (pruned.where(F.col("term") == t)
+                      .select("doc_id", F.lit(i).alias("slot"),
+                              index._contrib_expr("tf", idf[t]).alias("c")))
+            contribs = branch if contribs is None \
+                else contribs.unionByName(branch)
+        ordered_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
+            F.lit(0.0), lambda acc, x: acc + x["c"])
+        scored = (contribs.groupBy("doc_id")
+                  .agg(ordered_sum.alias("score"),
+                       F.collect_set("slot").alias("_slots")))
         qual = None
         for i in range(len(terms)):
             e = F.array_contains(F.col("_slots"), i)
             qual = e if qual is None else (qual & e)
         scored = scored.where(qual)
+    else:  # or
+        contribs = None
+        for i, t in enumerate(terms):
+            branch = (pruned.where(F.col("term") == t)
+                      .select("doc_id", F.lit(i).alias("slot"),
+                              index._contrib_expr("tf", idf[t]).alias("c")))
+            contribs = branch if contribs is None \
+                else contribs.unionByName(branch)
+        ordered_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
+            F.lit(0.0), lambda acc, x: acc + x["c"])
+        scored = (contribs.groupBy("doc_id")
+                  .agg(ordered_sum.alias("score")))
     out = (scored.select("doc_id", "score")
            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
     out._pruning_stats = prune_stats  # type: ignore[attr-defined]
