@@ -65,6 +65,20 @@ def test_distance_sort_and_metadata(geo_engine):
     assert "bearing" in meta and "cardinal" in meta
 
 
+def test_distance_survives_result_fields_projection(geo_engine):
+    """F5 projection must not strip the geo outputs — distance and bearing
+    metadata attach from the raw row before field filtering."""
+    eng, _ = geo_engine
+    res = eng.search("g", SearchQuery(
+        query="data", limit=5, result_fields=["role"],
+        geo_filters={"distance_sort": {"lat": LAT0, "lng": LNG0}}))
+    assert res["results"]
+    top = res["results"][0]
+    assert top["distance"] is not None
+    assert "bearing" in top["metadata"]
+    assert "text" not in top["document"]  # projection applied
+
+
 def test_nearest_knn_mode(geo_engine):
     eng, _ = geo_engine
     res = eng.search("g", SearchQuery(

@@ -587,6 +587,12 @@ class Engine:
             hl_terms = _query_terms_for_highlight(q.query) if q.highlight else []
             for d in page:
                 d.pop("tokens", None)
+                # lift geo outputs BEFORE the F5 projection — the reference
+                # attaches distance from the raw row, then filters content
+                # fields (processResults order, SearchEngine.php:772-819)
+                distance = d.pop("distance", None)
+                row_lat = d.get(latc)
+                row_lng = d.get(lngc)
                 if q.result_fields:
                     # F5: keep only configured result fields
                     # (reference: src/Search/SearchEngine.php:1171-1185)
@@ -596,19 +602,19 @@ class Engine:
                 item = {"id": f"{d.get('conv_id')}#{d.get('turn_idx')}"
                         if "conv_id" in d else str(d.get("doc_id")),
                         "score": d.pop("score"), "document": d}
-                if d.get("distance") is not None:
+                if distance is not None:
                     # attach distance + units/bearing metadata (reference:
                     # SearchEngine.php:795-819)
                     from .geo import bearing_deg, bearing_to_cardinal
-                    item["distance"] = d.pop("distance")
+                    item["distance"] = distance
                     meta = item.setdefault("metadata", {})
                     meta["distance_units"] = geo_units \
                         if geo_units in ("km", "mi") else "m"
                     pt = (geo.get("distance_sort")
                           or geo.get("near") or {})
-                    if "lat" in pt and d.get(latc) is not None:
+                    if "lat" in pt and row_lat is not None:
                         b = bearing_deg(float(pt["lat"]), float(pt["lng"]),
-                                        float(d[latc]), float(d[lngc]))
+                                        float(row_lat), float(row_lng))
                         meta["bearing"] = round(b, 1)
                         meta["cardinal"] = bearing_to_cardinal(b)
                 if q.highlight and d.get("text"):
