@@ -62,13 +62,19 @@ def _tokens(docs: DataFrame) -> DataFrame:
 # Spark-side queries (each mirrors an oracle_sql entry; SURVEY §2 refs inline)
 # ---------------------------------------------------------------------------
 
+def _corpus_stats(docs: DataFrame, dl: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) in ONE action (cross-joined single-row aggregates)."""
+    row = (docs.agg(F.count(F.lit(1)).alias("n"))
+           .crossJoin(dl.agg(F.avg("dl").alias("avgdl"))).collect()[0])
+    return int(row["n"]), float(row["avgdl"])
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: BM25 top-10 (OR over BM25_TERMS), FTS5 idf clamp semantics."""
     docs = _docs(spark, sf_dir)
     tok = _tokens(docs)
-    n_docs = docs.count()
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    n_docs, avgdl = _corpus_stats(docs, dl)
     tfs = (tok.where(F.col("term").isin(BM25_TERMS))
            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -348,9 +354,8 @@ def q_bm25_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_w = Σ instance-field weights, D = total tokens, row-level df."""
     docs = _docs(spark, sf_dir)
     tok = _tokens(docs)
-    n_docs = docs.count()
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    n_docs, avgdl = _corpus_stats(docs, dl)
     w = F.when(F.col("pos") <= 3, F.lit(2.0)).otherwise(F.lit(1.0))
     tfs = (tok.where(F.col("term").isin(BM25_TERMS))
            .groupBy("doc_id", "term").agg(F.sum(w).alias("tfw")))

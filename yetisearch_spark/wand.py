@@ -121,24 +121,29 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         full_terms, sel_df = _spark_select(meta, terms, idf, est_blocks,
                                            shape, k)
 
+    from .query import _DECODED_SCHEMA, _decode_factory
     base = (index._postings
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(terms)))
     parts = []
     if full_terms:
-        parts.append(base.where(F.col("term").isin(list(full_terms)))
-                     .select("term", "data"))
+        # keep-all-blocks terms reuse the hot per-term decoded cache (the
+        # exact path's pinned frames) instead of re-scanning + re-decoding
+        for t in full_terms:
+            parts.append(index._decoded_for_term(t)
+                         .select("term", "doc_id", "tf", "doc_len",
+                                 F.lit(None).cast("array<int>")
+                                 .alias("positions")))
     if sel_df is not None:
         parts.append(base.join(sel_df, ["term", "min_doc"], "left_semi")
-                     .select("term", "data"))
+                     .select("term", "data")
+                     .mapInPandas(_decode_factory(False),
+                                  schema=_DECODED_SCHEMA))
     if not parts:
         return index.spark.createDataFrame([], "doc_id long, score double")
-    src = parts[0]
+    pruned = parts[0]
     for p in parts[1:]:
-        src = src.unionByName(p)
-
-    from .query import _DECODED_SCHEMA, _decode_factory
-    pruned = src.mapInPandas(_decode_factory(False), schema=_DECODED_SCHEMA)
+        pruned = pruned.unionByName(p)
 
     # phase 2 scoring, per shape:
     #   single — plain projection (no shuffle at all)
@@ -314,8 +319,16 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
                     if j > 0 and run_max[j - 1] >= mn:
                         selected[t].add((mn, mx))
 
+    full_terms: list = []
+    if shape == "and":
+        # the rarest term keeps ALL its blocks — hand it back as a
+        # full term so phase 2 reuses the pinned decoded cache for it
+        rare = min(terms, key=lambda t: stats.get(t, (0, 0))[0])
+        if len(selected[rare]) == meta_counts.get(rare, 0):
+            full_terms = [rare]
+            selected[rare] = set()
     out = {(t, mn) for t in terms for (mn, _mx) in selected[t]}
-    return [], out, meta_counts
+    return full_terms, out, meta_counts
 
 
 # ---------------------------------------------------------------------------
