@@ -113,6 +113,29 @@ def main() -> None:
         timings[name] = round(dt, 4)
         q_lat.append(dt)
 
+    # multi-field build + per-field-weighted query (FTS5 bm25(fts, w…))
+    mf_dir = os.path.join(WORK_DIR, f"index_mf_{BENCH_TURNS}_{CPUS}")
+    shutil.rmtree(mf_dir, ignore_errors=True)
+    from pyspark.sql import functions as F
+    mf_transcripts = transcripts.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"),
+                                          1, 4)))
+    t0 = time.time()
+    build_index(spark, mf_transcripts, mf_dir, input_path=corpus_dir,
+                fields=["title", "text"], shuffle_partitions=max(CPUS, 8))
+    mf_build_s = time.time() - t0
+    timings["index_build_multifield"] = round(mf_build_s, 4)
+    mf_idx = SearchIndex(spark, mf_dir)
+    mf_idx.search("data AND process", k=10,
+                  weights={"title": 2.5}).collect()
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        mf_idx.search("data AND process", k=10,
+                      weights={"title": 2.5}).collect()
+        runs.append(time.time() - t0)
+    timings["engine_weighted_and"] = round(sorted(runs)[1], 4)
+
     # block-max pruned serving path
     from yetisearch_spark.wand import pruned_topk
     pruned_topk(idx, "search AND data", k=10).collect()
@@ -151,6 +174,7 @@ def main() -> None:
         "cpus": CPUS,
         "bench_turns": BENCH_TURNS,
         "index_build_turns_per_sec": round(turns_per_sec, 1),
+        "index_build_mf_turns_per_sec": round(BENCH_TURNS / mf_build_s, 1),
         "bm25_p95_query_sec": round(p95, 4),
     }))
     spark.stop()
