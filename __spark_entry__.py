@@ -416,13 +416,71 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score").orderBy("doc_id")
 
 
+def _mat_index_tokens(spark: SparkSession, idx, name: str) -> None:
+    """Materialize the analyzer's token table (doc_id, pos, term) and the
+    index global stats — the UDF-twin inputs the DuckDB oracles recompute
+    BM25/phrase/NEAR from (the analyzer itself is verified by the FTS5
+    rank-identity pytest suite; everything downstream is value-checked)."""
+    _materialize(idx._docs.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")),
+        f"{name}_tokens")
+    _materialize(
+        spark.read.parquet(os.path.join(idx.index_dir, "global_stats"))
+        .select(F.col("n_docs").cast("long").alias("n"),
+                F.col("avgdl").cast("double").alias("avgdl")),
+        f"{name}_stats")
+
+
+#: shared BM25 contribution SQL, op-order-matched to query.SearchIndex
+#: (_contrib_expr): idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), FTS5 idf
+#: clamp at 1e-6. {idf}/{tf} are substituted per slot.
+def _contrib_sql(idf: str, tf: str) -> str:
+    return (f"({idf} * {tf} * {K1 + 1.0} / "
+            f"({tf} + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl)))")
+
+
+def _idf_sql(df_expr: str) -> str:
+    return (f"(CASE WHEN ln((g.n - {df_expr} + 0.5) / ({df_expr} + 0.5)) <= 0 "
+            f"THEN 0.000001 "
+            f"ELSE ln((g.n - {df_expr} + 0.5) / ({df_expr} + 0.5)) END)")
+
+
 def q_engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy typo correction through the live engine (rows-only)."""
+    """Fuzzy typo correction through the live engine. Materializes the
+    analyzer token table, the corrected term pair, and the per-doc R4
+    penalties (rescoring.fuzzy_penalty — pytest-verified vs the
+    reference); the oracle recomputes the combined OR shape (phrase +
+    NEAR-trimmed + exact slots), the top-200 overfetch, penalty
+    application, and 0-100 normalization from those inputs."""
     from yetisearch_spark.engine import Engine, SearchQuery
+    from yetisearch_spark.query import Or
     idx = _engine_index(spark, sf_dir)
     eng = Engine(spark, {"main": idx.index_dir})
-    res = eng.search("main", SearchQuery(query="dta quiery", fuzzy=True,
-                                         limit=10))
+    q = SearchQuery(query="dta quiery", fuzzy=True, limit=10)
+    node, fmap, qtok = eng._compile("main", q)
+    assert isinstance(node, Or) and len(node.children[0].terms) == 2, node
+    t1, t2 = node.children[0].terms
+    _materialize(spark.createDataFrame([(t1, t2)], "t1 string, t2 string"),
+                 "engf_ctx")
+    _mat_index_tokens(spark, idx, "engf")
+    toks, fm = list(qtok), dict(fmap)
+    base_pen = float(eng.config["fuzzy_score_penalty"])
+
+    def pen_kernel(batches):
+        import pandas as pd
+        from yetisearch_spark.rescoring import fuzzy_penalty
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "penalty": [fuzzy_penalty(t or "", toks, fm, base_pen)
+                            for t in pdf["text"]]})
+
+    _materialize(idx._docs.select("doc_id", "text")
+                 .mapInPandas(pen_kernel, "doc_id long, penalty double"),
+                 "engf_penalty")
+    res = eng.search("main", q)
     rows = [(r["document"]["doc_id"], float(r["score"]))
             for r in res["results"]]
     return spark.createDataFrame(rows or [(None, None)],
@@ -431,21 +489,57 @@ def q_engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max pruned top-k (rows-only; equality with the exact path is
-    asserted in tests/test_wand.py)."""
+    """Block-max pruned top-k. pruned == exact is asserted by
+    tests/test_wand.py; here the oracle independently recomputes the exact
+    BM25 AND top-10 from the materialized analyzer token table, so the
+    pruned result is value-checked end-to-end."""
     from yetisearch_spark.wand import pruned_topk
     idx = _engine_index(spark, sf_dir)
-    df = pruned_topk(idx, "data AND queri", k=10)
+    _mat_index_tokens(spark, idx, "engp")
+    df = pruned_topk(idx, "data AND queri", k=10, gate_blocks=0)
     return df.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def q_engine_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field BM25 weights + R2 rescoring through the live engine over a
-    two-field index (rows-only; float-exact weighted bm25 is verified vs
-    SQLite FTS5 by tests/test_multifield.py, and the semantic SQL twin is
-    oracle-checked as bm25_weighted_topk)."""
+    two-field index. Materializes the per-field analyzer token table and
+    the per-doc R2 multiplier (rescoring.field_weighted_score at base 1.0
+    — the function is purely multiplicative in base_score and is
+    pytest-verified against the reference); the oracle recomputes weighted
+    BM25, the top-200 overfetch, the rescore product, and normalization."""
     from yetisearch_spark.engine import Engine, SearchQuery
     idx = _engine_index_mf(spark, sf_dir)
+    _materialize(
+        idx._docs
+        .select("doc_id", "field_lens",
+                F.posexplode("tokens").alias("pos", "term"))
+        .select("doc_id",
+                F.when(F.col("pos") < F.element_at("field_lens", 1),
+                       F.lit(0)).otherwise(F.lit(1)).cast("int")
+                .alias("field_id"),
+                "term"),
+        "engb_tokens")
+    _materialize(
+        spark.read.parquet(os.path.join(idx.index_dir, "global_stats"))
+        .select(F.col("n_docs").cast("long").alias("n"),
+                F.col("avgdl").cast("double").alias("avgdl")),
+        "engb_stats")
+
+    def factor_kernel(batches):
+        import pandas as pd
+        from yetisearch_spark.rescoring import field_weighted_score
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "factor": [field_weighted_score("data query", {"title": t},
+                                                {"title": 3.0}, 1.0)
+                           for t in pdf["title"]]})
+
+    _materialize(idx._docs.select("doc_id", "title")
+                 .mapInPandas(factor_kernel, "doc_id long, factor double"),
+                 "engb_factor")
     eng = Engine(spark, {})
     eng.indexes["mf"] = idx
     res = eng.search("mf", SearchQuery(query="data query", limit=10,
@@ -458,10 +552,16 @@ def q_engine_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geo near-filter + distance sort through the live engine (rows-only;
-    the haversine itself is oracle-checked as geo_knn)."""
+    """Geo near-filter + distance sort through the live engine.
+    Materializes the match candidates (docs whose analyzed tokens contain
+    the query term, with their lat/lng); the oracle recomputes the
+    haversine radius filter, the distance sort, and the top-10 page."""
     from yetisearch_spark.engine import Engine, SearchQuery
     idx = _engine_index_mf(spark, sf_dir)
+    _materialize(idx._docs
+                 .where(F.array_contains("tokens", "data"))
+                 .select("doc_id", "lat", "lng"),
+                 "engg_cand")
     eng = Engine(spark, {})
     eng.indexes["g"] = idx
     res = eng.search("g", SearchQuery(
@@ -477,9 +577,12 @@ def q_engine_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path (analyzer → postings index → BM25 top-k). Verified
-    rank-identical to SQLite FTS5 by tests/test_rank_identity.py; here the
-    driver records a rows-only check (stemming isn't ANSI-SQL-expressible)."""
-    df = _engine_index(spark, sf_dir).search("data AND query", k=10)
+    rank-identical to SQLite FTS5 by tests/test_rank_identity.py; the
+    oracle recomputes the same BM25 AND top-10 from the materialized
+    analyzer token table + index global stats (value-checked)."""
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "engs")
+    df = idx.search("data AND query", k=10)
     return df.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -615,6 +718,32 @@ _TOK_SQL = """
                          generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos) u
     WHERE u.term <> ''
 """
+
+
+def _exact_and_sql(prefix: str, terms: tuple[str, str] = ("data", "queri")) -> str:
+    """BM25 AND top-10 recomputed from a materialized analyzer token table
+    (same contribution formula / idf clamp / tie-break as
+    query.SearchIndex; the 2-term sum is order-independent in IEEE)."""
+    t1, t2 = terms
+    return f"""
+        WITH tok AS (SELECT doc_id, term
+                     FROM read_parquet('{MAT_DIR}/{prefix}_tokens/*.parquet')),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        g AS (SELECT n, avgdl
+              FROM read_parquet('{MAT_DIR}/{prefix}_stats/*.parquet')),
+        tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ('{t1}','{t2}') GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+        scored AS (
+            SELECT t.doc_id,
+                   sum({_idf_sql('d.df')} * t.tf * {K1 + 1.0}
+                       / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl))) AS s
+            FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id)
+            CROSS JOIN g
+            GROUP BY t.doc_id HAVING count(*) = 2)
+        SELECT doc_id, round(s, 4) AS score FROM scored
+        ORDER BY s DESC, doc_id LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -894,10 +1023,117 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{MAT_DIR}/chunks/*.parquet')
             GROUP BY parent_id ORDER BY parent_id
         """,
-        # engine_search / engine_fuzzy / engine_pruned_topk / engine_boosted /
-        # engine_geo: intentionally omitted — the full analyzer (stemming,
-        # stop words) is not ANSI-SQL-expressible; the SQLite FTS5
-        # rank-identity pytest suites (incl. multi-field weighted bm25) and
-        # tests/test_wand.py (pruned == exact) carry the strong checks, and
-        # each engine behavior has an oracle-checked semantic twin above.
+        # engine entries: the analyzer (stemming/stop words) is not
+        # ANSI-SQL-expressible, so each entry materializes its token table
+        # (doc_id, pos, term) — the analyzer itself is verified by the
+        # SQLite FTS5 rank-identity pytest suite — and DuckDB recomputes
+        # BM25 / phrase / NEAR-trim / overfetch / rescore / normalization
+        # from those tokens, value-checking the whole downstream pipeline.
+        "engine_search": _exact_and_sql("engs"),
+        "engine_pruned_topk": _exact_and_sql("engp"),
+        "engine_boosted": f"""
+            WITH tok AS (SELECT doc_id, field_id, term
+                         FROM read_parquet('{MAT_DIR}/engb_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/engb_stats/*.parquet')),
+            tfs AS (SELECT doc_id, term,
+                           sum(CASE WHEN field_id = 0 THEN 3.0 ELSE 1.0 END) AS tf
+                    FROM tok WHERE term IN ('data','queri')
+                    GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+            scored AS (
+                SELECT t.doc_id,
+                       sum({_idf_sql('d.df')} * t.tf * {K1 + 1.0}
+                           / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl))) AS s
+                FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id)
+                CROSS JOIN g
+                GROUP BY t.doc_id HAVING count(*) = 2),
+            cand AS (SELECT doc_id, s FROM scored
+                     ORDER BY s DESC, doc_id LIMIT 200),
+            resc AS (SELECT c.doc_id, c.s * f.factor AS rs
+                     FROM cand c
+                     JOIN read_parquet('{MAT_DIR}/engb_factor/*.parquet') f
+                       USING(doc_id)),
+            wm AS (SELECT max(rs) AS w FROM resc)
+            SELECT doc_id, round(rs / (SELECT w FROM wm) * 100.0, 1) AS score
+            FROM resc ORDER BY rs DESC, doc_id LIMIT 10
+        """,
+        "engine_geo": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       2.0 * 6371.0 * asin(least(1.0, sqrt(
+                           pow(sin((radians(lat) - radians(0.0)) / 2), 2)
+                           + cos(radians(0.0)) * cos(radians(lat))
+                             * pow(sin((radians(lng) - radians(0.0)) / 2), 2)
+                       ))) * 1000.0 AS dist
+                FROM read_parquet('{MAT_DIR}/engg_cand/*.parquet'))
+            SELECT doc_id, round(dist, 2) AS dist_m FROM d
+            WHERE dist <= 3000000.0
+            ORDER BY dist ASC, doc_id LIMIT 10
+        """,
+        "engine_fuzzy": f"""
+            WITH tok AS (SELECT doc_id, pos, term
+                         FROM read_parquet('{MAT_DIR}/engf_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/engf_stats/*.parquet')),
+            ctx AS (SELECT t1, t2
+                    FROM read_parquet('{MAT_DIR}/engf_ctx/*.parquet')),
+            p1 AS (SELECT doc_id, pos FROM tok
+                   WHERE term = (SELECT t1 FROM ctx)),
+            p2 AS (SELECT doc_id, pos FROM tok
+                   WHERE term = (SELECT t2 FROM ctx)),
+            t1s AS (SELECT doc_id, count(*) AS tf FROM p1 GROUP BY doc_id),
+            t2s AS (SELECT doc_id, count(*) AS tf FROM p2 GROUP BY doc_id),
+            ph AS (SELECT a.doc_id, count(*) AS tf
+                   FROM p1 a JOIN p2 b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY a.doc_id),
+            -- FTS5 NEAR(p1 p2, 10) trim for len-1 phrases: an instance
+            -- survives iff a partner lies within |gap| <= distance + 1
+            n1 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT a.doc_id, a.pos FROM p1 a JOIN p2 b
+                       ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 11)
+                   GROUP BY doc_id),
+            n2 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT b.doc_id, b.pos FROM p1 a JOIN p2 b
+                       ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 11)
+                   GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM ph) AS df0,
+                          (SELECT count(*) FROM t1s) AS df1,
+                          (SELECT count(*) FROM t2s) AS df2),
+            per AS (SELECT c.doc_id, dl.dl,
+                           ph.tf AS tf0, n1.tf AS ntf1, n2.tf AS ntf2,
+                           t1s.tf AS tf3, t2s.tf AS tf4
+                    FROM (SELECT doc_id FROM t1s
+                          UNION SELECT doc_id FROM t2s) c
+                    JOIN dl USING(doc_id)
+                    LEFT JOIN ph USING(doc_id) LEFT JOIN n1 USING(doc_id)
+                    LEFT JOIN n2 USING(doc_id) LEFT JOIN t1s USING(doc_id)
+                    LEFT JOIN t2s USING(doc_id)),
+            -- slot-order accumulation: phrase, NEAR member 1, NEAR member
+            -- 2, exact term 1, exact term 2 (absent slots add 0.0, which
+            -- cannot perturb an IEEE sum of non-negative terms)
+            raw AS (SELECT doc_id,
+                      ((((coalesce(c0, 0.0) + coalesce(c1, 0.0))
+                         + coalesce(c2, 0.0)) + coalesce(c3, 0.0))
+                       + coalesce(c4, 0.0)) AS s
+                    FROM (SELECT dl.doc_id,
+                        {_contrib_sql(_idf_sql('st.df0'), 'dl.tf0')} AS c0,
+                        {_contrib_sql(_idf_sql('st.df1'), 'dl.ntf1')} AS c1,
+                        {_contrib_sql(_idf_sql('st.df2'), 'dl.ntf2')} AS c2,
+                        {_contrib_sql(_idf_sql('st.df1'), 'dl.tf3')} AS c3,
+                        {_contrib_sql(_idf_sql('st.df2'), 'dl.tf4')} AS c4
+                      FROM per dl CROSS JOIN g CROSS JOIN st)),
+            cand AS (SELECT doc_id, s FROM raw
+                     ORDER BY s DESC, doc_id LIMIT 200),
+            wm AS (SELECT max(s) AS w FROM cand),
+            fin AS (SELECT c.doc_id, c.s * (1.0 - p.penalty) AS ps
+                    FROM cand c
+                    JOIN read_parquet('{MAT_DIR}/engf_penalty/*.parquet') p
+                      USING(doc_id))
+            SELECT doc_id, round(ps / (SELECT w FROM wm) * 100.0, 1) AS score
+            FROM fin ORDER BY ps DESC, doc_id LIMIT 10
+        """,
     }

@@ -25,7 +25,9 @@ def _exact(index, q, k=10):
 
 
 def _pruned(index, q, k=10):
-    df = pruned_topk(index, q, k=k)
+    # gate_blocks=0: these tests exercise the pruning mechanics; the cost
+    # gate (small corpora route to the exact path) is tested separately
+    df = pruned_topk(index, q, k=k, gate_blocks=0)
     rows = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
     return rows, getattr(df, "_pruning_stats", None)
 
@@ -90,7 +92,7 @@ def test_spark_phase1_identical(index):
                f'"{terms[0]}" AND "{terms[1]}"',
                f'"{terms[0]}" OR "{terms[2]}" OR "{terms[3]}"']
     for q in queries:
-        df = pruned_topk(index, q, k=10, driver_cap=0)
+        df = pruned_topk(index, q, k=10, driver_cap=0, gate_blocks=0)
         got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
         assert got == _exact(index, q), q
 
@@ -105,7 +107,8 @@ def test_spark_phase1_never_collects_metadata(spark, index, monkeypatch):
 
     monkeypatch.setattr(wand_mod, "_driver_select", boom)
     terms, _ = _common_terms(index)
-    df = pruned_topk(index, f'"{terms[0]}"', k=10, driver_cap=0)
+    df = pruned_topk(index, f'"{terms[0]}"', k=10, driver_cap=0,
+                     gate_blocks=0)
     got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
     assert got == _exact(index, f'"{terms[0]}"')
 
@@ -138,3 +141,15 @@ def test_spark_selection_prunes_synthetic_head_term(spark):
              .agg(F.min("block_max_norm")).collect()[0][0])
     want = meta.where(F.col("block_max_norm") >= top10).count()
     assert n_sel == want
+
+
+def test_cost_gate_routes_small_queries_to_exact(index):
+    """Default gate: a small-corpus query never pays the phase-1 metadata
+    job — it routes to the exact path (and still returns exact results)."""
+    terms, _ = _common_terms(index)
+    q = f'"{terms[0]}" AND "{terms[1]}"'
+    df = pruned_topk(index, q, k=10)  # default gate
+    stats = getattr(df, "_pruning_stats", None)
+    assert stats is not None and stats.get("gated") is True
+    got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+    assert got == _exact(index, q)

@@ -61,6 +61,14 @@ from .query import And, Phrase, SearchIndex, parse_query
 DRIVER_CAP = 50_000
 #: block ranges we are willing to broadcast for the range-overlap join
 RANGE_BCAST_CAP = 200_000
+#: cost gate: below this many estimated blocks the exact path (which
+#: reuses the pinned decoded-postings cache and runs zero planning jobs)
+#: beats pruning — phase 1 pays a metadata job the exact path never
+#: does, and at small block counts there is nothing worth skipping.
+#: The per-k term scales the floor with deeper result pages (a larger k
+#: weakens the pruning threshold θ, so more blocks survive anyway).
+GATE_MIN_BLOCKS = 10_000
+GATE_BLOCKS_PER_K = 200
 
 
 def _is_simple(node) -> tuple[bool, list[str], str]:
@@ -78,9 +86,16 @@ def _is_simple(node) -> tuple[bool, list[str], str]:
 
 
 def pruned_topk(index: SearchIndex, query, k: int = 10,
-                driver_cap: int = DRIVER_CAP) -> DataFrame:
+                driver_cap: int = DRIVER_CAP,
+                gate_blocks: int | None = None) -> DataFrame:
     """Top-k with block-max pruning; falls back to index.search for
-    unsupported shapes. Results are exactly index.search(query, k)."""
+    unsupported shapes. Results are exactly index.search(query, k).
+
+    ``gate_blocks``: cost gate — when the driver-side block estimate
+    (df / block_size, zero jobs) is below it, the query routes to the
+    exact path instead: pruning pays a phase-1 metadata job the exact
+    path never runs, and with few blocks there is nothing to skip.
+    None → max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K·k); 0 → always prune."""
     node = parse_query(query) if isinstance(query, str) else query
     ok, terms, shape = _is_simple(node)
     if not ok:
@@ -96,6 +111,14 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     idf = {t: index.idf(stats[t][0]) for t in terms}
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
+
+    gate = max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K * k) \
+        if gate_blocks is None else gate_blocks
+    if sum(est_blocks.values()) < gate:
+        out = index.search(node, k=k)
+        out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
+                              "est_blocks": sum(est_blocks.values())}
+        return out
 
     buckets = index._buckets_for_terms(terms)
     meta = (index._postings
