@@ -154,3 +154,84 @@ def test_metadata_phase_never_reads_data_column(index):
           .select("term", "min_doc", "max_doc", "n_docs", "block_max_norm"))
     read_schema = _plan(df).split("ReadSchema", 1)[1][:400]
     assert "data" not in read_schema.replace("max_doc", "").replace("min_doc", "")
+
+
+def test_phrase_match_is_jvm_broadcast_chain(index):
+    """Round-3 phrase kernel: the phrase match table must be a broadcast
+    join chain over the per-term decoded frames (no shuffle exchange, no
+    Python evaluation between the decode and the start intersection), so
+    a head term's postings never cross a shuffle."""
+    from yetisearch_spark.query import Phrase
+
+    rows = (index._term_stats.orderBy(F.desc("df")).limit(20).collect())
+    from yetisearch_spark.analyzer import analyze
+    terms = [r["term"] for r in rows if analyze(r["term"]) == [r["term"]]]
+    p = Phrase((terms[0], terms[1]))
+    mt = index._phrase_match(p)
+    plan = _plan(mt)
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges are broadcast exchanges (no shuffle between the
+    # decoded frames and the intersection)
+    import re
+    shuffles = re.findall(r"Exchange (\w+)", plan)
+    assert all("hashpartitioning" not in s for s in shuffles), plan
+    # no Python/pandas evaluation above the decode step: array_intersect
+    # runs JVM-side (the decode itself is the only MapInPandas)
+    assert plan.count("MapInPandas") <= 2  # one per term decode
+    assert "array_intersect" in plan
+
+
+def test_phrase_match_bounded_by_rarest_df(index):
+    """Row-count bound: |phrase match input| <= rarest term's df (the
+    broadcast chain's first input), not the head term's df."""
+    from yetisearch_spark.query import Phrase
+
+    rows = (index._term_stats.orderBy(F.desc("df")).limit(20).collect())
+    from yetisearch_spark.analyzer import analyze
+    terms = [(r["term"], r["df"]) for r in rows
+             if analyze(r["term"]) == [r["term"]]]
+    (t_head, df_head), (t_rare, df_rare) = terms[0], terms[-1]
+    assert df_rare < df_head
+    p = Phrase((t_head, t_rare))
+    mt = index._phrase_match(p)
+    # every surviving row carries both terms, so the join output is
+    # bounded by the rarest frame
+    assert mt.count() <= df_rare
+
+
+def test_near_pairwise_is_jvm(index):
+    """k=2 NEAR runs without a Python kernel (exists/filter higher-order
+    functions), matching the pandas trim exactly."""
+    from yetisearch_spark.query import Near, parse_query
+
+    rows = (index._term_stats.orderBy(F.desc("df")).limit(20).collect())
+    from yetisearch_spark.analyzer import analyze
+    terms = [r["term"] for r in rows if analyze(r["term"]) == [r["term"]]]
+    node = parse_query(f"NEAR({terms[0]} {terms[1]}, 5)")
+    assert isinstance(node, Near)
+    import numpy as np
+    from yetisearch_spark.query import _near_trim
+
+    slots, pt, pdf_, nt, handles = index._plan(node)
+    try:
+        near_df = nt[node]
+        plan = _plan(near_df)
+        assert plan.count("MapInPandas") <= 2  # only the term decodes
+        got = sorted(tuple(r) for r in near_df.collect())
+        # recompute expected rows driver-side with the generic numpy trim
+        p0, p1 = node.phrases
+        t0 = {r["doc_id"]: (r["doc_len"], r["positions"])
+              for r in pt[p0].collect()}
+        t1 = {r["doc_id"]: r["positions"] for r in pt[p1].collect()}
+        want = []
+        for d in sorted(set(t0) & set(t1)):
+            inst = [np.asarray(t0[d][1], dtype=np.int64),
+                    np.asarray(t1[d], dtype=np.int64)]
+            matched, counts = _near_trim(inst, [len(p0.terms), len(p1.terms)],
+                                         node.distance)
+            if matched:
+                want.append((d, t0[d][0], counts[0], counts[1]))
+    finally:
+        index.release(handles)
+    assert got, "NEAR produced no rows for two head terms"
+    assert got == sorted(want)

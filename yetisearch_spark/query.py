@@ -580,8 +580,70 @@ class SearchIndex:
         return (self._decoded_for_term(term)
                 .select("doc_id", "tf", "doc_len", "positions"))
 
+    #: per-term frames carrying position arrays broadcast up to this many
+    #: docs (tighter than BROADCAST_DF_CAP — positions make rows fatter)
+    PHRASE_BCAST_DF_CAP = 1_000_000
+
     def _phrase_match(self, phrase: Phrase) -> DataFrame:
-        """→ (doc_id, tf, doc_len, positions=phrase instance starts)."""
+        """→ (doc_id, tf, doc_len, positions=phrase instance starts).
+
+        Plan shape (FTS5 rides its doclist intersection here, reference:
+        src/Search/SearchEngine.php:574-581; the Spark analog): a
+        rarest-term-first broadcast join chain — every intermediate is
+        bounded by the rarest term's df, so a head term's postings stream
+        map-side through the join and NEVER cross a shuffle — with the
+        start-set intersection computed entirely JVM-side:
+        S₀ = positions₀, Sᵢ = array_intersect(Sᵢ₋₁, positionsᵢ − i).
+        No Python kernel in this path. Falls back to the one-shuffle
+        union+groupBy shape only when ≥2 constituent terms exceed the
+        broadcast cap (at that density there is no cheap side to build)."""
+        terms = list(phrase.terms)
+        stats = self.term_stats_for(sorted(set(terms)))
+        dfs = {t: stats.get(t, (0, 0))[0] for t in set(terms)}
+        if any(dfs[t] == 0 for t in dfs):
+            return self._empty_match()
+        # per-OCCURRENCE sizes: a duplicated over-cap term joins its frame
+        # twice, so the second-largest occurrence (not distinct term)
+        # decides broadcastability
+        by_size = sorted(dfs[t] for t in terms)
+        if len(by_size) > 1 and by_size[-2] > self.PHRASE_BCAST_DF_CAP:
+            return self._phrase_match_agg(phrase)
+
+        order = sorted(range(len(terms)), key=lambda i: (dfs[terms[i]], i))
+        largest = max(dfs.values())
+        joined = None
+        for rank, i in enumerate(order):
+            t = terms[i]
+            cols = ["doc_id"] + (["doc_len"] if rank == 0 else [])
+            d = (self._decoded_for_term(t)
+                 .select(*cols, F.col("positions").alias(f"_p{i}")))
+            if joined is None:
+                joined = d
+            elif dfs[t] >= largest and dfs[t] > self.PHRASE_BCAST_DF_CAP:
+                # the one over-cap frame stays un-broadcast; the bounded
+                # accumulation (≤ rarest df rows) broadcasts into it
+                joined = F.broadcast(joined).join(d, "doc_id")
+            else:
+                joined = joined.join(F.broadcast(d), "doc_id")
+
+        def _shift(off: int):
+            # NB: must be a ONE-argument lambda — pyspark interprets a
+            # second parameter as the array index
+            return lambda x: x - F.lit(off)
+
+        starts = F.col("_p0")
+        for i in range(1, len(terms)):
+            starts = F.array_intersect(
+                starts, F.transform(F.col(f"_p{i}"), _shift(i)))
+        return (joined
+                .withColumn("positions", starts)
+                .where(F.size("positions") > 0)
+                .select("doc_id", F.size("positions").cast("int").alias("tf"),
+                        "doc_len", "positions"))
+
+    def _phrase_match_agg(self, phrase: Phrase) -> DataFrame:
+        """Fallback phrase kernel for ≥2 over-cap terms: one union+groupBy
+        shuffle, per-doc start intersection in numpy."""
         terms = phrase.terms
         sub = None
         for t in sorted(set(terms)):
@@ -628,12 +690,29 @@ class SearchIndex:
                      F.array_sort(F.flatten(F.collect_list("positions")))
                      .alias("positions")))
 
+    def _weighted_tally_expr(self, arr, wvec: tuple):
+        """Σ over an int-position array of the position's field weight
+        (field = pos >> FIELD_SHIFT) — JVM fold, ascending array order
+        (float-identical to the numpy tally in _near_trim)."""
+        from .build import FIELD_SHIFT
+
+        def step(acc, x):
+            fld = F.shiftright(x, FIELD_SHIFT)
+            expr = F.when(fld == 0, F.lit(float(wvec[0])))
+            for i, wi in enumerate(wvec[1:], start=1):
+                expr = expr.when(fld == i, F.lit(float(wi)))
+            return acc + expr.otherwise(F.lit(1.0))
+
+        return F.aggregate(arr, F.lit(0.0), step)
+
     def _near_table(self, node: Near, phrase_tables: dict,
                     wvec: Optional[tuple] = None) -> DataFrame:
         """→ (doc_id, doc_len, tf_0 … tf_{k-1}) for docs satisfying the NEAR
         constraint, with NEAR-trimmed per-member term frequencies
         (field-weighted when ``wvec`` is given)."""
         k = len(node.phrases)
+        if k == 2:
+            return self._near_table_pairwise(node, phrase_tables, wvec)
         joined = None
         for i, p in enumerate(node.phrases):
             d = phrase_tables[p].select(
@@ -655,15 +734,54 @@ class SearchIndex:
                 if pdf.empty:
                     continue
                 rows = []
-                for row in pdf.itertuples(index=False):
-                    inst = [np.asarray(getattr(row, f"starts_{i}"), dtype=np.int64)
-                            for i in range(k)]
+                start_cols = [pdf[f"starts_{i}"] for i in range(k)]
+                for doc_id, doc_len, *starts in zip(pdf["doc_id"],
+                                                    pdf["doc_len"],
+                                                    *start_cols):
+                    inst = [np.asarray(s, dtype=np.int64) for s in starts]
                     matched, counts = _near_trim(inst, plens, distance, wvec)
                     if matched:
-                        rows.append((row.doc_id, row.doc_len, *counts))
+                        rows.append((doc_id, doc_len, *counts))
                 if rows:
                     yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
         return joined.mapInPandas(check, schema=out_schema)
+
+    def _near_table_pairwise(self, node: Near, phrase_tables: dict,
+                             wvec: Optional[tuple] = None) -> DataFrame:
+        """k=2 NEAR entirely JVM-side (the dominant NEAR shape — the
+        reference's combined fuzzy query emits pairwise NEARs). FTS5 trim
+        for a pair: instance x of phrase 0 survives iff ∃ y of phrase 1
+        with max(x,y) − min(x+l0−1, y+l1−1) ≤ distance+1 (the
+        max(start)−min(end)−1 ≤ distance rule); symmetric for phrase 1.
+        Verified float-exact vs sqlite3 by the rank-identity suite."""
+        p0, p1 = node.phrases
+        l0, l1 = len(p0.terms), len(p1.terms)
+        dist = node.distance
+        d0 = phrase_tables[p0].select("doc_id", "doc_len",
+                                      F.col("positions").alias("_s0"))
+        d1 = phrase_tables[p1].select("doc_id",
+                                      F.col("positions").alias("_s1"))
+        joined = d0.join(d1, "doc_id")
+
+        def ok(x, y):
+            return (F.greatest(x, y)
+                    - F.least(x + F.lit(l0 - 1), y + F.lit(l1 - 1))
+                    ) <= F.lit(dist + 1)
+
+        valid0 = F.filter(F.col("_s0"),
+                          lambda x: F.exists(F.col("_s1"), lambda y: ok(x, y)))
+        valid1 = F.filter(F.col("_s1"),
+                          lambda y: F.exists(F.col("_s0"), lambda x: ok(x, y)))
+        if wvec is None:
+            tf0 = F.size(valid0).cast("int")
+            tf1 = F.size(valid1).cast("int")
+        else:
+            tf0 = self._weighted_tally_expr(valid0, wvec)
+            tf1 = self._weighted_tally_expr(valid1, wvec)
+        return (joined
+                .withColumn("tf_0", tf0).withColumn("tf_1", tf1)
+                .where(F.size(valid0) > 0)
+                .select("doc_id", "doc_len", "tf_0", "tf_1"))
 
     # -- full query execution --------------------------------------------------
 
