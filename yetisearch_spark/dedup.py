@@ -177,13 +177,21 @@ def minhash_verified_pairs(df: DataFrame, text_col: str = "text",
                            F.explode(F.array(*band_cols)).alias("bb"))
                .select("doc_id", "sig", "bb.band", "bb.bh"))
 
-    left = buckets.alias("l")
-    right = buckets.select("doc_id", "band", "bh", "sig").alias("r")
+    # exact verify never reads the signatures downstream — keep the
+    # 128-slot arrays OUT of the candidate self-join's shuffle and carry
+    # bare (a, b) ids instead (they re-join texts anyway)
+    sig_cols = [] if verify == "exact" else \
+        [F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b")]
+    right_cols = ["doc_id", "band", "bh"] + \
+        ([] if verify == "exact" else ["sig"])
+    left = (buckets.select(*right_cols).alias("l") if verify == "exact"
+            else buckets.alias("l"))
+    right = buckets.select(*right_cols).alias("r")
     pairs = (left.join(right, on=[F.col("l.band") == F.col("r.band"),
                                   F.col("l.bh") == F.col("r.bh"),
                                   F.col("l.doc_id") < F.col("r.doc_id")])
              .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
-                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+                     *sig_cols)
              .dropDuplicates(["a", "b"]))
 
     if verify == "exact":
@@ -197,7 +205,7 @@ def minhash_verified_pairs(df: DataFrame, text_col: str = "text",
                              F.col("gs").alias("gs_b"))
         jac = (F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
                / F.size(F.array_union("gs_a", "gs_b")))
-        return (pairs.select("a", "b").join(ga, "a").join(gb, "b")
+        return (pairs.join(ga, "a").join(gb, "b")
                 .where(jac >= jaccard_threshold).select("a", "b"))
     # estimated Jaccard = fraction of agreeing signature slots
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",

@@ -214,9 +214,40 @@ class Engine:
             **(config or {}),
         }
         self._correctors: dict[str, object] = {}
+        self._live_cache: dict[str, tuple] = {}
 
     def index(self, name: str) -> SearchIndex:
         return self.indexes[name]
+
+    def _live(self, index: str):
+        """Epoch-checked index resolution (K2 write-path invalidation,
+        reference: src/Storage/SqliteStorage.php:364-367,708-711).
+        Mutations (segment appends, tombstones) bump the manifest epoch;
+        a moved epoch re-resolves the serving view — plain SearchIndex
+        when the base is all there is, a UnionIndex over
+        base + segments − tombstones otherwise — and retires the stale
+        view's private caches. The epoch also keys the K1 result cache,
+        so cached pages can never outlive a mutation."""
+        import os
+
+        from .build import load_manifest
+        from .streaming import list_segments, tombstone_path
+
+        base = self.indexes[index]
+        epoch = int(load_manifest(base.index_dir).get("epoch", 0))
+        cur = self._live_cache.get(index)
+        if cur is not None and cur[0] == epoch:
+            return epoch, cur[1]
+        if cur is not None and cur[1] is not base:
+            cur[1].close()
+        d = base.index_dir
+        if list_segments(d) or os.path.isdir(tombstone_path(d)):
+            from .streaming import UnionIndex
+            live = UnionIndex(self.spark, d, base=base)
+        else:
+            live = base
+        self._live_cache[index] = (epoch, live)
+        return epoch, live
 
     def corrector(self, index: str):
         """Broadcast-vocabulary Corrector (reference getIndexedTerms shape:
@@ -399,14 +430,18 @@ class Engine:
         → re-sort → slice."""
         if isinstance(q, str):
             q = SearchQuery(query=q)
+        epoch, idx = self._live(index)
         cache_key = None
         if not q.bypass_cache:
             # K1: engine-level result LRU (TTL 300s, 100 entries —
             # reference: src/Search/SearchEngine.php:2375-2417). The key
             # hashes FULL facet/aggregation option dicts and the highlight
-            # length — queries differing only in options must not collide.
+            # length — queries differing only in options must not collide —
+            # and the index epoch, so mutations invalidate without a
+            # manual clear_cache() (reference K2 hooks,
+            # src/Storage/SqliteStorage.php:364-367,708-711).
             import hashlib
-            cache_key = (index, hashlib.md5(repr(
+            cache_key = (index, epoch, hashlib.md5(repr(
                 (q.query, q.limit, q.offset, q.filters, sorted(q.sort.items()),
                  q.fuzzy, q.fuzziness, q.min_score, q.unique_by_route,
                  q.highlight, q.highlight_length,
@@ -418,7 +453,6 @@ class Engine:
             if hit is not None:
                 return hit
         t0 = time.time()
-        idx = self.indexes[index]
         node, fuzzy_map, q_tokens = self._compile(index, q)
         # multi-field index: boost_fields become per-column bm25 weights
         # (reference SqliteStorage multi-column mode, :993-1021); the R2
@@ -453,29 +487,9 @@ class Engine:
         dist_sort = geo.get("distance_sort") if geo_live else None
         dw = float(self.config["distance_weight"])
         if geo_live:
-            # J2 geo filters + distance column inside the Catalyst plan
-            # (reference spatial clauses: SqliteStorage.php:1988-2209)
-            from . import geo as G
-            ref_pt = None
-            if "near" in geo:
-                n = geo["near"]
-                radius_m = G.to_meters(float(n["radius"]),
-                                       n.get("units") or geo_units)
-                matched = G.within_radius(matched, float(n["lat"]),
-                                          float(n["lng"]), radius_m,
-                                          latc, lngc)
-                ref_pt = (float(n["lat"]), float(n["lng"]))
-            if "within" in geo:
-                matched = matched.where(
-                    G.bbox_predicate(geo["within"], latc, lngc))
-            if dist_sort:
-                ref_pt = (float(dist_sort["lat"]), float(dist_sort["lng"]))
             need_distance = bool(dist_sort) or dw > 0 or "distance" in q.facets
-            if need_distance and "distance" not in matched.columns \
-                    and ref_pt is not None:
-                matched = matched.withColumn(
-                    "distance", G.haversine_m(ref_pt[0], ref_pt[1],
-                                              latc, lngc))
+            matched = self._apply_geo(matched, geo, geo_units, latc, lngc,
+                                      need_distance)
 
         persisted_ref = None  # unpersist the EXACT persisted frame, not a
         # later reassignment of `matched` (derived frames are no-ops)
@@ -648,6 +662,35 @@ class Engine:
             self._cache_put(cache_key, out)
         return out
 
+    @staticmethod
+    def _apply_geo(matched: DataFrame, geo: dict, geo_units: str,
+                   latc: str, lngc: str, need_distance: bool) -> DataFrame:
+        """J2 geo filters + distance column inside the Catalyst plan
+        (reference spatial clauses: SqliteStorage.php:1988-2209). Shared by
+        search(), count() and standalone facets() — the reference's count
+        pipeline runs the full spatial clause set too
+        (src/Storage/SqliteStorage.php:1275-1358)."""
+        from . import geo as G
+        ref_pt = None
+        if "near" in geo:
+            n = geo["near"]
+            radius_m = G.to_meters(float(n["radius"]),
+                                   n.get("units") or geo_units)
+            matched = G.within_radius(matched, float(n["lat"]),
+                                      float(n["lng"]), radius_m, latc, lngc)
+            ref_pt = (float(n["lat"]), float(n["lng"]))
+        if "within" in geo:
+            matched = matched.where(G.bbox_predicate(geo["within"],
+                                                     latc, lngc))
+        dist_sort = geo.get("distance_sort")
+        if dist_sort:
+            ref_pt = (float(dist_sort["lat"]), float(dist_sort["lng"]))
+        if need_distance and "distance" not in matched.columns \
+                and ref_pt is not None:
+            matched = matched.withColumn(
+                "distance", G.haversine_m(ref_pt[0], ref_pt[1], latc, lngc))
+        return matched
+
     def _nearest(self, idx: SearchIndex, q: SearchQuery, geo: dict,
                  latc: str, lngc: str, geo_units: str, t0: float) -> dict:
         """O6 k-NN: distance-ordered docs, no text ranking."""
@@ -746,15 +789,30 @@ class Engine:
         return rolled.unionByName(
             no_route.withColumn("chunk_count", F.lit(1)), allowMissingColumns=True)
 
+    def _with_geo(self, idx, matched: DataFrame, q: SearchQuery,
+                  need_distance: bool = False) -> DataFrame:
+        """Apply q.geo_filters to a match set when the index has geo
+        columns (no-op otherwise)."""
+        geo = q.geo_filters or {}
+        latc = self.config["geo_lat_col"]
+        lngc = self.config["geo_lng_col"]
+        if not geo or latc not in matched.columns or lngc not in matched.columns:
+            return matched
+        units = str(geo.get("units") or self.config["geo_units"])
+        return self._apply_geo(matched, geo, units, latc, lngc, need_distance)
+
     def count(self, index: str, q: SearchQuery | str) -> int:
+        """M8 with the full filter pipeline — geo clauses included, like
+        the reference count (src/Storage/SqliteStorage.php:1275-1358)."""
         if isinstance(q, str):
             q = SearchQuery(query=q)
-        idx = self.indexes[index]
+        _, idx = self._live(index)
         if not q.query.strip():
-            return apply_filters(idx._docs, q.filters).count()
+            return self._with_geo(idx, apply_filters(idx._docs, q.filters),
+                                  q).count()
         matched = self._matches_with_docs(idx, q)
         try:
-            return matched.count()
+            return self._with_geo(idx, matched, q).count()
         finally:
             idx.release(getattr(matched, "_ys_handles", []))
 
@@ -762,65 +820,92 @@ class Engine:
 
     def facets(self, index: str, q: SearchQuery,
                sample_limit: int = 1000, matched: DataFrame | None = None) -> dict:
-        """A1: value counts of fields over the (sampled) match set
-        (reference samples the top-1000 hits: SearchEngine.php:1267-1269)."""
-        idx = self.indexes[index]
+        """A1/A2/A3: facet counts over the top-``sample_limit`` hits.
+
+        ONE Spark action for any number of facet fields: the ≤1000-row
+        sample is collected once (only the faceted columns) and counted
+        driver-side — exactly where the reference counts it in PHP over
+        the same sample (SearchEngine.php:1267-1307). Standalone calls
+        (no ``matched``) run the geo pipeline too, so the A2 distance
+        facet works outside search()."""
+        release_handles = None
         if matched is None:
+            _, idx = self._live(index)
             matched = self._matches_with_docs(idx, q)
-        sample = matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(sample_limit)
+            release_handles = (idx, getattr(matched, "_ys_handles", []))
+            matched = self._with_geo(idx, matched, q,
+                                     need_distance="distance" in q.facets)
+        try:
+            flds = [f for f in q.facets if f in matched.columns]
+            sample_rows = (matched
+                           .orderBy(F.desc("score"), F.asc("doc_id"))
+                           .limit(sample_limit)
+                           .select(*flds).collect() if flds else [])
+        finally:
+            if release_handles is not None:
+                release_handles[0].release(release_handles[1])
         out = {}
         for fld, opts in q.facets.items():
-            if fld == "distance" and "distance" not in matched.columns:
-                continue  # A2 needs a geo query to attach the column
+            if fld not in flds:
+                continue  # A2 needs geo columns to attach the distance
+            vals = [r[fld] for r in sample_rows]
             ranges = opts.get("ranges")
             if ranges:
-                # A3: range facet {to}/{from,to}/{from}
-                expr = None
-                labels = []
-                col = F.col(fld)
+                # A3: range facet {to}/{from,to}/{from} — first matching
+                # range wins (the when-chain semantics)
+                buckets = []
                 for r in ranges:
                     lo, hi = r.get("from"), r.get("to")
-                    label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-                    labels.append(label)
-                    cond = F.lit(True)
-                    if lo is not None:
-                        cond = cond & (col >= lo)
-                    if hi is not None:
-                        cond = cond & (col < hi)
-                    expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-                rows = (sample.withColumn("__bucket", expr)
-                        .where(F.col("__bucket").isNotNull())
-                        .groupBy("__bucket").count().collect())
-                counts = {r["__bucket"]: r["count"] for r in rows}
-                out[fld] = [{"value": lbl, "count": counts.get(lbl, 0)}
-                            for lbl in labels if counts.get(lbl, 0) > 0]
+                    label = (f"{lo if lo is not None else '*'}-"
+                             f"{hi if hi is not None else '*'}")
+                    n = 0
+                    for v in vals:
+                        if v is None:
+                            continue
+                        if (lo is None or v >= lo) and (hi is None or v < hi):
+                            n += 1
+                    buckets.append((label, n))
+                    vals = [v for v in vals
+                            if v is None or not ((lo is None or v >= lo)
+                                                 and (hi is None or v < hi))]
+                out[fld] = [{"value": lbl, "count": n}
+                            for lbl, n in buckets if n > 0]
             else:
                 min_count = opts.get("min_count", 1)
                 limit = opts.get("limit", 10)
-                rows = (sample.where(F.col(fld).isNotNull())
-                        .groupBy(fld).count()
-                        .where(F.col("count") >= min_count)
-                        .orderBy(F.desc("count"), F.asc(fld))
-                        .limit(limit).collect())
-                out[fld] = [{"value": r[fld], "count": r["count"]} for r in rows]
+                counts: dict = {}
+                for v in vals:
+                    if v is not None:
+                        counts[v] = counts.get(v, 0) + 1
+                items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                out[fld] = [{"value": v, "count": n}
+                            for v, n in items if n >= min_count][:limit]
         return out
 
     def aggregations(self, index: str, q: SearchQuery,
                      matched: DataFrame | None = None) -> dict:
         """A4: avg/min/max/sum/count over match-set columns — documented in
-        the reference but stubbed there (SearchEngine.php:1309-1314);
-        implemented here for surface parity."""
-        idx = self.indexes[index]
+        the reference but stubbed there (SearchEngine.php:1309-1314).
+        All specs evaluate in ONE .agg() → one Spark action regardless of
+        the number of aggregations."""
+        release_handles = None
         if matched is None:
+            _, idx = self._live(index)
             matched = self._matches_with_docs(idx, q)
-        out = {}
+            release_handles = (idx, getattr(matched, "_ys_handles", []))
+            matched = self._with_geo(idx, matched, q)
         fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
                "count": F.count}
-        for name, spec in q.aggregations.items():
-            fld, kind = spec["field"], spec.get("type", "avg")
-            row = matched.agg(fns[kind](fld).alias("v")).collect()[0]
-            out[name] = {"value": row["v"]}
-        return out
+        cols = [fns[spec.get("type", "avg")](spec["field"]).alias(name)
+                for name, spec in q.aggregations.items()]
+        if not cols:
+            return {}
+        try:
+            row = matched.agg(*cols).collect()[0]
+        finally:
+            if release_handles is not None:
+                release_handles[0].release(release_handles[1])
+        return {name: {"value": row[name]} for name in q.aggregations}
 
     def suggest(self, index: str, query_text: str) -> Optional[dict]:
         """Z10: 'did you mean' over the index vocabulary."""
@@ -832,7 +917,7 @@ class Engine:
 
     def get_document(self, index: str, conv_id: str, turn_idx: int) -> Optional[dict]:
         """S13: point lookup by document identity."""
-        idx = self.indexes[index]
+        _, idx = self._live(index)
         rows = (idx._docs.where((F.col("conv_id") == conv_id)
                                 & (F.col("turn_idx") == turn_idx))
                 .limit(1).collect())
@@ -845,7 +930,7 @@ class Engine:
     # -- stats / catalog (A5, S11) --------------------------------------------
 
     def get_stats(self, index: str) -> dict:
-        idx = self.indexes[index]
+        _, idx = self._live(index)
         by_role = {r[0]: r[1] for r in
                    idx._docs.groupBy("role").count().collect()}
         return {
@@ -869,7 +954,7 @@ class Engine:
             q = SearchQuery(query=q)
         parts = []
         for name in indices:
-            idx = self.indexes[name]
+            _, idx = self._live(name)
             node = parse_query(q.query)
             scores = idx.match_scores(node)
             docs = apply_filters(idx._docs, q.filters)

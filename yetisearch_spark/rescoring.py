@@ -174,11 +174,13 @@ def rescore_candidates(candidates: DataFrame, search_query: str,
         for pdf in batches:
             if pdf.empty:
                 continue
-            new_scores = []
-            for _, row in pdf.iterrows():
-                content = {c: row[c] for c in content_cols}
-                new_scores.append(field_weighted_score(
-                    search_query, content, field_weights, float(row[score_col])))
+            col_arrays = [pdf[c].to_numpy() for c in content_cols]
+            scores = pdf[score_col].to_numpy()
+            new_scores = [
+                field_weighted_score(search_query,
+                                     dict(zip(content_cols, vals)),
+                                     field_weights, float(s))
+                for s, *vals in zip(scores, *col_arrays)]
             pdf = pdf.copy()
             pdf[score_col] = new_scores
             yield pdf

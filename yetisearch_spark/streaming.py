@@ -50,6 +50,29 @@ def _doc_count(manifest: dict) -> int:
     return int(manifest["stages"]["docs"]["counters"]["docs"])
 
 
+def index_epoch(index_dir: str) -> int:
+    """Monotonic mutation counter in the base manifest — the serving-side
+    invalidation signal (reference invalidates its query cache on
+    insert/delete: src/Storage/SqliteStorage.php:364-367,708-711)."""
+    return int(load_manifest(index_dir).get("epoch", 0))
+
+
+def bump_epoch(index_dir: str) -> int:
+    """Increment the index epoch after any mutation (segment append,
+    tombstone write). Engines compare epochs per search and drop their
+    result caches / re-resolve segments when it moves."""
+    import json
+
+    manifest = load_manifest(index_dir)
+    manifest["epoch"] = int(manifest.get("epoch", 0)) + 1
+    p = os.path.join(index_dir, "manifest.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, p)
+    return manifest["epoch"]
+
+
 def high_water_doc_id(index_dir: str) -> int:
     """Base docs + all committed segment docs (dense id allocation)."""
     total = _doc_count(load_manifest(index_dir))
@@ -75,8 +98,10 @@ def append_segment(spark: SparkSession, index_dir: str,
     # doc_id_base threads the shift through the build itself, so posting
     # blobs, block min/max metadata and the docs view all live in the same
     # (shifted) id space — tombstones and search hits are interchangeable
-    return build_index(spark, transcripts, seg, doc_id_base=base,
-                       input_path=f"<stream epoch {epoch}>", **kwargs)
+    manifest = build_index(spark, transcripts, seg, doc_id_base=base,
+                           input_path=f"<stream epoch {epoch}>", **kwargs)
+    bump_epoch(index_dir)
+    return manifest
 
 
 def streaming_index_writer(spark: SparkSession, index_dir: str,
@@ -112,6 +137,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None
     physical at compaction (delete-vector model)."""
     df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     df.write.mode("append").parquet(tombstone_path(index_dir))
+    bump_epoch(index_dir)
 
 
 def upsert_documents(spark: SparkSession, index_dir: str,
@@ -150,6 +176,7 @@ def delete_by_conv_prefix(spark: SparkSession, index_dir: str,
     n = victims.count()
     if n:
         victims.write.mode("append").parquet(tombstone_path(index_dir))
+        bump_epoch(index_dir)
     return n
 
 
@@ -203,6 +230,74 @@ class SegmentedIndex:
         if self._tomb is not None:
             merged = merged.join(self._tomb, "doc_id", "left_anti")
         return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class UnionIndex:
+    """Engine-facing serving view over base + committed segments minus
+    tombstones — the surface Engine.search/count/facets need
+    (match_scores / _docs / fields / release), so index mutations become
+    visible to a live Engine without compaction or a manual cache clear.
+
+    Per-part BM25 statistics apply (each part scores with its own
+    df/avgdl — the documented pre-compaction trade-off, identical to the
+    reference's multi-index merge, src/Storage/SqliteStorage.php:
+    1574-1628). Compaction restores exact single-index semantics."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, base=None):
+        from .build import parquet_row_count
+        from .query import SearchIndex
+
+        self.spark = spark
+        self.index_dir = index_dir
+        # ``base``: pass the engine's long-lived SearchIndex so its pinned
+        # decoded/doc caches are reused (and never closed by this view);
+        # segments are small and short-lived (compaction folds them in)
+        if base is None:
+            base = SearchIndex(spark, index_dir)
+        self.parts = [base] + [SearchIndex(spark, segment_dir(index_dir, e))
+                               for e in list_segments(index_dir)]
+        self._tomb = load_tombstones(spark, index_dir)
+        base = self.parts[0]
+        self.fields = base.fields
+        self.manifest = base.manifest
+        n_tomb = parquet_row_count(tombstone_path(index_dir)) \
+            if self._tomb is not None else 0
+        self.n_docs = max(0, sum(p.n_docs for p in self.parts) - n_tomb)
+        total = sum(p.n_docs for p in self.parts) or 1
+        self.avgdl = sum(p.avgdl * p.n_docs for p in self.parts) / total
+        self._term_stats = base._term_stats
+
+    @property
+    def _docs(self) -> DataFrame:
+        out = None
+        for p in self.parts:
+            out = p._docs if out is None else out.unionByName(p._docs)
+        if self._tomb is not None:
+            out = out.join(self._tomb, "doc_id", "left_anti")
+        return out
+
+    def match_scores(self, node, weights=None) -> DataFrame:
+        handles: list = []
+        merged = None
+        for p in self.parts:
+            s = p.match_scores(node, weights=weights)
+            handles.extend(getattr(s, "_ys_handles", []))
+            merged = s if merged is None else merged.unionByName(s)
+        if self._tomb is not None:
+            merged = merged.join(self._tomb, "doc_id", "left_anti")
+        merged._ys_handles = handles  # type: ignore[attr-defined]
+        return merged
+
+    def release(self, handles) -> None:
+        # handles may span parts; per-part registries are bounded anyway
+        for h in handles or []:
+            h.unpersist()
+
+    def close(self) -> None:
+        # the base part's caches belong to the long-lived engine; only
+        # segment parts are private to this view
+        for p in self.parts[1:]:
+            p.close()
 
 
 def compact(spark: SparkSession, index_dir: str, out_dir: str,
