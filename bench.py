@@ -146,6 +146,65 @@ def main() -> None:
         runs.append(time.time() - t0)
     timings["engine_pruned_and"] = round(sorted(runs)[1], 4)
 
+    # -- skewed-corpus leg: where block-max pruning actually wins ------------
+    # Every doc carries head term "zzhead" once; every ~5000th doc carries
+    # it 32× (an adversarial block-max spike), and a clustered rare term
+    # "zzrare" marks the first ~2k docs. Cold-path timings (no pinned
+    # caches — the 10^12-doc serving regime where nothing fits in cache):
+    # the exact path must scan+decode the full 1M-posting head list; the
+    # pruned path decodes only blocks that can reach the top-k (single:
+    # block_max ≥ θ; AND: blocks overlapping the rare term's ranges).
+    skew_corpus = os.path.join(WORK_DIR, f"skew_corpus_{BENCH_TURNS}")
+    if not os.path.exists(os.path.join(skew_corpus, "_DONE")):
+        shutil.rmtree(skew_corpus, ignore_errors=True)
+        spike = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(5000)) == 0
+        # clustered rare term: the first ~200 conversations (doc_ids are
+        # dense in (conv_id, turn_idx) order, so these are contiguous)
+        rare = (F.element_at(F.split(F.col("conv_id"), "_"), -1)
+                .cast("long") < 200)
+        (transcripts.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" zzhead"),
+                     F.when(spike, F.lit(" zzhead" * 31)).otherwise(F.lit("")),
+                     F.when(rare, F.lit(" zzrare")).otherwise(F.lit(""))))
+         .write.mode("overwrite").parquet(skew_corpus))
+        open(os.path.join(skew_corpus, "_DONE"), "w").write("ok")
+    skew_idx_dir = os.path.join(WORK_DIR, f"skew_index_{BENCH_TURNS}_{CPUS}")
+    if not os.path.exists(os.path.join(skew_idx_dir, "_BENCH_DONE")):
+        shutil.rmtree(skew_idx_dir, ignore_errors=True)
+        # block_size=64 → the 1M-df head term has ~15.6k blocks, above the
+        # pruned-path cost gate (pruning engages on the default route)
+        build_index(spark, spark.read.parquet(skew_corpus), skew_idx_dir,
+                    input_path=skew_corpus, block_size=64,
+                    shuffle_partitions=max(CPUS, 8))
+        open(os.path.join(skew_idx_dir, "_BENCH_DONE"), "w").write("ok")
+
+    # cache_postings=False → every timed run re-scans + re-decodes its
+    # posting blocks (the cold data path); vocab/global stats are warmed
+    # outside the timing so both paths measure pure query work.
+    skew_idx = SearchIndex(spark, skew_idx_dir,
+                           cache_postings=False, cache_docs=False)
+    skew_idx.term_stats_for(["zzhead", "zzrare"])
+
+    def _cold_median(fn, n=3):
+        runs = []
+        for _ in range(n):
+            t0 = time.time()
+            fn(skew_idx).collect()
+            runs.append(time.time() - t0)
+        return sorted(runs)[n // 2]
+
+    # gate_blocks=0: this leg measures the pruning win itself (at the
+    # default 1M-turn corpus the default gate picks pruning here anyway;
+    # the standard engine_pruned_and leg above measures the gate routing)
+    skew_queries = {"wand_skew_single": "zzhead",
+                    "wand_skew_and": "zzhead AND zzrare"}
+    for name, q in skew_queries.items():
+        timings[f"{name}_exact"] = round(_cold_median(
+            lambda ix, q=q: ix.search(q, k=10)), 4)
+        timings[f"{name}_pruned"] = round(_cold_median(
+            lambda ix, q=q: pruned_topk(ix, q, k=10, gate_blocks=0)), 4)
+
     # fuzzy typo correction through the engine
     from yetisearch_spark.engine import Engine, SearchQuery
     eng = Engine(spark, {"main": index_dir})

@@ -127,15 +127,20 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
             .select("term", "min_doc", "max_doc", "n_docs", "block_max_norm"))
 
     prune_stats = None
+    sel_by_term = None
+    sel_df = None
     if sum(est_blocks.values()) <= driver_cap:
         full_terms, selected, meta_counts = _driver_select(
             meta, terms, stats, idf, shape, k, index=index)
         if not selected and not full_terms:
             return index.spark.createDataFrame([], "doc_id long, score double")
-        sel_df = None
-        if selected:
-            sel_df = F.broadcast(index.spark.createDataFrame(
-                sorted(selected), "term string, min_doc long"))
+        # driver selection yields CONCRETE block keys → push them into the
+        # parquet scan as literal predicates (postings files are sorted by
+        # (term, salt, min_doc), so row-group stats prune the unread
+        # blocks' `data` bytes — the IO win, not just the decode win)
+        sel_by_term = {}
+        for (t, mn) in selected:
+            sel_by_term.setdefault(t, []).append(mn)
         n_total = sum(meta_counts.values())
         n_sel = len(selected) + sum(meta_counts.get(t, 0)
                                     for t in full_terms)
@@ -145,28 +150,48 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
                                            shape, k)
 
     from .query import _DECODED_SCHEMA, _decode_factory
-    base = (index._postings
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(terms)))
-    parts = []
-    if full_terms:
-        # keep-all-blocks terms reuse the hot per-term decoded cache (the
-        # exact path's pinned frames) instead of re-scanning + re-decoding
-        for t in full_terms:
-            parts.append(index._decoded_for_term(t)
-                         .select("term", "doc_id", "tf", "doc_len",
-                                 F.lit(None).cast("array<int>")
-                                 .alias("positions")))
-    if sel_df is not None:
-        parts.append(base.join(sel_df, ["term", "min_doc"], "left_semi")
-                     .select("term", "data")
-                     .mapInPandas(_decode_factory(False),
-                                  schema=_DECODED_SCHEMA))
-    if not parts:
-        return index.spark.createDataFrame([], "doc_id long, score double")
-    pruned = parts[0]
-    for p in parts[1:]:
-        pruned = pruned.unionByName(p)
+    from .xxhash64 import bucket_of
+
+    # ONE frame per term — each posting scan executes exactly once per
+    # query (a per-term .where() over a unioned decode would re-run the
+    # whole scan+semi-join branch once per term; MapInPandas subtrees
+    # never hit ReusedExchange)
+    ISIN_CAP = 2048  # literal min_doc lists beyond this go via semi-join
+
+    def term_frame(t: str) -> DataFrame:
+        if t in full_terms:
+            # keep-all-blocks terms reuse the hot per-term decoded cache
+            # (the exact path's pinned frames): no re-scan, no re-decode
+            return index._decoded_for_term(t).select(
+                "term", "doc_id", "tf", "doc_len",
+                F.lit(None).cast("array<int>").alias("positions"))
+        scan = (index._postings
+                .where(F.col("bucket") == bucket_of(t, index.num_buckets))
+                .where(F.col("term") == t))
+        if sel_by_term is not None:
+            mins = sorted(sel_by_term.get(t, []))
+            if not mins:
+                return index.spark.createDataFrame(
+                    index.spark.sparkContext.emptyRDD(), _DECODED_SCHEMA)
+            if len(mins) <= ISIN_CAP:
+                # exact pushable predicate — parquet skips the pruned
+                # blocks' row groups entirely
+                scan = scan.where(F.col("min_doc").isin(mins))
+            else:
+                # envelope range pushes down; the broadcast semi-join
+                # applies the exact selection on what survives
+                scan = scan.where(F.col("min_doc")
+                                  .between(mins[0], mins[-1]))
+                sel_t = F.broadcast(index.spark.createDataFrame(
+                    [(t, m) for m in mins], "term string, min_doc long"))
+                scan = scan.join(sel_t, ["term", "min_doc"], "left_semi")
+        elif sel_df is not None:
+            scan = scan.join(F.broadcast(sel_df.where(F.col("term") == t)),
+                             ["term", "min_doc"], "left_semi")
+        return scan.select("term", "data").mapInPandas(
+            _decode_factory(False), schema=_DECODED_SCHEMA)
+
+    frames = {t: term_frame(t) for t in terms}
 
     # phase 2 scoring, per shape:
     #   single — plain projection (no shuffle at all)
@@ -176,7 +201,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     #            trivially qualified so no slot-set is carried
     if shape == "single":
         t = terms[0]
-        scored = pruned.select(
+        scored = frames[t].select(
             "doc_id", index._contrib_expr("tf", idf[t]).alias("score"))
     elif shape == "and" and all(
             d <= index.BROADCAST_DF_CAP
@@ -184,7 +209,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         largest = max(range(len(terms)), key=lambda i: stats[terms[i]][0])
         joined = None
         for i, t in enumerate(terms):
-            part = (pruned.where(F.col("term") == t)
+            part = (frames[t]
                     .select("doc_id",
                             index._contrib_expr("tf", idf[t]).alias(f"c{i}")))
             if joined is None:
@@ -203,7 +228,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         # with slot-set qualification
         contribs = None
         for i, t in enumerate(terms):
-            branch = (pruned.where(F.col("term") == t)
+            branch = (frames[t]
                       .select("doc_id", F.lit(i).alias("slot"),
                               index._contrib_expr("tf", idf[t]).alias("c")))
             contribs = branch if contribs is None \
@@ -222,7 +247,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     else:  # or
         contribs = None
         for i, t in enumerate(terms):
-            branch = (pruned.where(F.col("term") == t)
+            branch = (frames[t]
                       .select("doc_id", F.lit(i).alias("slot"),
                               index._contrib_expr("tf", idf[t]).alias("c")))
             contribs = branch if contribs is None \
