@@ -27,6 +27,43 @@ def _plan(df) -> str:
 def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark):
+    """Plan-shape tests walk the physical tree; compile non-adaptively so
+    the tree is plain (AQE wraps stages in opaque adaptive nodes)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def nodes_above_cache(df):
+    """Physical-plan node names, NOT descending into cached relations —
+    per-query work only (the cache-fill repartition lives inside the
+    InMemoryRelation definition and runs once, not per query)."""
+    out = []
+
+    def walk(n):
+        nm = n.nodeName()
+        out.append(nm)
+        if nm.startswith("InMemoryTableScan"):
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def _shuffles(nodes):
+    return [n for n in nodes if n == "Exchange"]
+
 
 def test_postings_read_prunes_buckets_and_pushes_term(index):
     from yetisearch_spark.xxhash64 import bucket_of
@@ -87,38 +124,45 @@ def test_wholestage_codegen_on_scoring(index):
     assert final.count("Exchange hashpartitioning") == 1, final
 
 
-def test_or_query_single_shuffle_any_width(index):
+def test_or_query_single_shuffle_any_width(spark, index):
     """An OR-of-terms scoring plan must contain exactly one scoring
     exchange regardless of term count (scale: shuffles don't grow with
     query length)."""
     from yetisearch_spark.query import parse_query
-    df = index.match_scores(parse_query("data OR process OR system OR run"))
-    df.collect()
-    final = _plan(df).split("== Initial Plan ==")[0]
-    assert final.count("Exchange hashpartitioning") == 1, final
+    with no_aqe(spark):
+        df = index.match_scores(parse_query("data OR process OR system OR run"))
+        nodes = nodes_above_cache(df)
+    # co-partitioned caches: the union keeps hashpartitioning(doc_id), so
+    # the scoring aggregation needs NO exchange at all (round 2 had one)
+    assert len(_shuffles(nodes)) == 0, nodes
 
 
-def test_and_query_is_shuffle_free_broadcast_join(index):
-    """A flat AND of single terms joins the cached per-term match tables
-    with broadcasts — ZERO shuffle exchanges in the scoring plan."""
+def test_and_query_is_shuffle_free_join(spark, index):
+    """A flat AND of single terms joins the co-partitioned cached
+    per-term match tables — ZERO per-query exchanges (no shuffle, no
+    broadcast: the cache-fill repartition is the only exchange and it
+    lives inside the cached relation)."""
     from yetisearch_spark.query import parse_query
-    df = index.match_scores(parse_query("data process system run check"))
-    df.collect()
-    final = _plan(df).split("== Initial Plan ==")[0]
-    assert final.count("Exchange hashpartitioning") == 0, final
-    assert "BroadcastHashJoin" in final, final
+    with no_aqe(spark):
+        df = index.match_scores(parse_query("data process system run check"))
+        nodes = nodes_above_cache(df)
+    assert len(_shuffles(nodes)) == 0, nodes
+    # Catalyst may still COST-choose a broadcast for tiny cached frames;
+    # what must never appear per-query is a shuffle exchange
+    assert any("Join" in n for n in nodes), nodes
 
 
-def test_flat_or_skips_qualification_column(index):
+def test_flat_or_skips_qualification_column(spark, index):
     """A flat OR is trivially qualified — the plan must carry no
     collect_set/array_contains work through the shuffle."""
     from yetisearch_spark.query import parse_query
-    df = index.match_scores(parse_query("data OR process OR system"))
-    df.collect()
-    final = _plan(df).split("== Initial Plan ==")[0]
-    assert "collect_set" not in final, final
-    assert "array_contains" not in final, final
-    assert final.count("Exchange hashpartitioning") == 1, final
+    with no_aqe(spark):
+        df = index.match_scores(parse_query("data OR process OR system"))
+        nodes = nodes_above_cache(df)
+        plan = _plan(df)
+    assert "collect_set" not in plan, plan
+    assert "array_contains" not in plan, plan
+    assert len(_shuffles(nodes)) == 0, nodes
 
 
 def test_broadcast_guard_falls_back_to_shuffle(index):
@@ -130,13 +174,19 @@ def test_broadcast_guard_falls_back_to_shuffle(index):
                 index.search("data AND process", k=10).collect()]
     want_or = [(r["doc_id"], round(r["score"], 9)) for r in
                index.search("data OR process", k=10).collect()]
-    old = index.BROADCAST_DF_CAP
-    index.BROADCAST_DF_CAP = 0
+    # the broadcast cap guards UNCACHED serving (cached frames are
+    # co-partitioned, so nothing broadcasts there regardless of size)
+    from yetisearch_spark.query import SearchIndex
+    uncached = SearchIndex(index.spark, index.index_dir,
+                           cache_postings=False, cache_docs=False)
+    old = uncached.BROADCAST_DF_CAP
+    uncached.BROADCAST_DF_CAP = 0
     try:
-        df = index.match_scores(parse_query("data AND process"))
-        df.collect()
-        final = _plan(df).split("== Initial Plan ==")[0]
-        assert final.count("Exchange hashpartitioning") == 1, final
+        with no_aqe(index.spark):
+            df = uncached.match_scores(parse_query("data AND process"))
+            nodes = nodes_above_cache(df)
+        assert len(_shuffles(nodes)) == 1, nodes
+        index.BROADCAST_DF_CAP = 0
         got_and = [(r["doc_id"], round(r["score"], 9)) for r in
                    index.search("data AND process", k=10).collect()]
         got_or = [(r["doc_id"], round(r["score"], 9)) for r in
@@ -156,11 +206,12 @@ def test_metadata_phase_never_reads_data_column(index):
     assert "data" not in read_schema.replace("max_doc", "").replace("min_doc", "")
 
 
-def test_phrase_match_is_jvm_broadcast_chain(index):
-    """Round-3 phrase kernel: the phrase match table must be a broadcast
-    join chain over the per-term decoded frames (no shuffle exchange, no
-    Python evaluation between the decode and the start intersection), so
-    a head term's postings never cross a shuffle."""
+def test_phrase_match_is_jvm_join_chain(index):
+    """Round-3 phrase kernel: the phrase match table is a join chain over
+    the co-partitioned per-term decode caches — JVM start-set
+    intersection (no Python between decode and intersection), and the
+    hot query runs as ONE job with ONE stage (zero exchanges outside the
+    cached frames: head-term postings never cross a per-query shuffle)."""
     from yetisearch_spark.query import Phrase
 
     rows = (index._term_stats.orderBy(F.desc("df")).limit(20).collect())
@@ -168,17 +219,19 @@ def test_phrase_match_is_jvm_broadcast_chain(index):
     terms = [r["term"] for r in rows if analyze(r["term"]) == [r["term"]]]
     p = Phrase((terms[0], terms[1]))
     mt = index._phrase_match(p)
-    plan = _plan(mt)
-    assert "BroadcastHashJoin" in plan
-    # the only exchanges are broadcast exchanges (no shuffle between the
-    # decoded frames and the intersection)
-    import re
-    shuffles = re.findall(r"Exchange (\w+)", plan)
-    assert all("hashpartitioning" not in s for s in shuffles), plan
-    # no Python/pandas evaluation above the decode step: array_intersect
-    # runs JVM-side (the decode itself is the only MapInPandas)
-    assert plan.count("MapInPandas") <= 2  # one per term decode
+    mt.collect()  # fill the decode caches
+    with no_aqe(index.spark):
+        nodes = nodes_above_cache(index._phrase_match(p))
+        plan = _plan(index._phrase_match(p))
+    # no Python/pandas evaluation above the cached decodes; intersection
+    # (array_intersect) runs JVM-side
+    assert not any("Pandas" in n or "Python" in n for n in nodes), nodes
     assert "array_intersect" in plan
+    # zero per-query shuffles: head-term postings never cross a
+    # per-query shuffle (the cache-fill repartition is inside the cache;
+    # tiny frames may still be cost-chosen for broadcast)
+    assert len(_shuffles(nodes)) == 0, nodes
+    assert any("Join" in n for n in nodes), nodes
 
 
 def test_phrase_match_bounded_by_rarest_df(index):
@@ -215,9 +268,12 @@ def test_near_pairwise_is_jvm(index):
     slots, pt, pdf_, nt, handles = index._plan(node)
     try:
         near_df = nt[node]
-        plan = _plan(near_df)
-        assert plan.count("MapInPandas") <= 2  # only the term decodes
         got = sorted(tuple(r) for r in near_df.collect())
+        with no_aqe(index.spark):
+            # rebuild un-persisted so the walker sees the kernel plan
+            raw = index._near_table(node, pt)
+            nodes = nodes_above_cache(raw)
+        assert not any("Pandas" in n or "Python" in n for n in nodes), nodes
         # recompute expected rows driver-side with the generic numpy trim
         p0, p1 = node.phrases
         t0 = {r["doc_id"]: (r["doc_len"], r["positions"])

@@ -369,20 +369,45 @@ class Engine:
         out._ys_handles = getattr(scores, "_ys_handles", [])  # type: ignore
         return out
 
-    @staticmethod
-    def _page_and_total(matched: DataFrame, order: list[tuple[str, bool]],
-                        n: int) -> tuple[list[dict], int]:
+    _PAGE_PLAN_MAX = 128
+
+    def _memo_page_plan(self, plan_key, builder) -> DataFrame:
+        """Prepared page-plan LRU: a repeated query (even with
+        bypass_cache, which only bypasses the RESULT cache) re-collects
+        the already-built page+count union instead of re-running the py4j
+        plan construction. Keys carry the index epoch, so mutations can
+        never serve a stale plan."""
+        if plan_key is None:
+            return builder()
+        if not hasattr(self, "_page_plans"):
+            from collections import OrderedDict
+            self._page_plans = OrderedDict()
+        hit = self._page_plans.get(plan_key)
+        if hit is not None:
+            self._page_plans.move_to_end(plan_key)
+            return hit
+        df = builder()
+        self._page_plans[plan_key] = df
+        while len(self._page_plans) > self._PAGE_PLAN_MAX:
+            self._page_plans.popitem(last=False)
+        return df
+
+    def _page_and_total(self, matched: DataFrame,
+                        order: list[tuple[str, bool]], n: int,
+                        plan_key=None) -> tuple[list[dict], int]:
         """ONE Spark action for the serving hot path: the top-n page
         (TakeOrderedAndProject) unioned with a count branch — the count
         side reuses the scoring shuffle (ReusedExchange) instead of
         running a second job. Returns (page row dicts re-sorted driver-side,
         total match count)."""
-        sort_cols = [F.col(f).asc() if asc else F.col(f).desc()
-                     for f, asc in order]
-        page = (matched.orderBy(*sort_cols).limit(n)
-                .withColumn("_total", F.lit(None).cast("long")))
-        stats = matched.agg(F.count(F.lit(1)).alias("_total"))
-        rows = page.unionByName(stats, allowMissingColumns=True).collect()
+        def build():
+            sort_cols = [F.col(f).asc() if asc else F.col(f).desc()
+                         for f, asc in order]
+            page = (matched.orderBy(*sort_cols).limit(n)
+                    .withColumn("_total", F.lit(None).cast("long")))
+            stats = matched.agg(F.count(F.lit(1)).alias("_total"))
+            return page.unionByName(stats, allowMissingColumns=True)
+        rows = self._memo_page_plan(plan_key, build).collect()
         return Engine._split_union_rows(rows, order)
 
     @staticmethod
@@ -399,9 +424,8 @@ class Engine:
         _sort_rows(page_rows, order)
         return page_rows, total
 
-    @staticmethod
-    def _page_and_total_enriched(scores: DataFrame, docs: DataFrame,
-                                 n: int) -> tuple[list[dict], int]:
+    def _page_and_total_enriched(self, scores: DataFrame, docs: DataFrame,
+                                 n: int, plan_key=None) -> tuple[list[dict], int]:
         """Hot serving path (no filters/sort/facets): top-n over the bare
         (doc_id, score) match set FIRST, then broadcast-join only the page
         into the doc store (reference J1 shape,
@@ -409,11 +433,14 @@ class Engine:
         never enters the scoring plan. Still ONE Spark action: the count
         branch is unioned in and reuses the scoring shuffle."""
         order = [("score", False), ("doc_id", True)]
-        topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
-        page = (docs.join(F.broadcast(topk), "doc_id")
-                .withColumn("_total", F.lit(None).cast("long")))
-        stats = scores.agg(F.count(F.lit(1)).alias("_total"))
-        rows = page.unionByName(stats, allowMissingColumns=True).collect()
+
+        def build():
+            topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+            page = (docs.join(F.broadcast(topk), "doc_id")
+                    .withColumn("_total", F.lit(None).cast("long")))
+            stats = scores.agg(F.count(F.lit(1)).alias("_total"))
+            return page.unionByName(stats, allowMissingColumns=True)
+        rows = self._memo_page_plan(plan_key, build).collect()
         return Engine._split_union_rows(rows, order)
 
     def search(self, index: str, q: SearchQuery | str) -> dict:
@@ -431,24 +458,27 @@ class Engine:
         if isinstance(q, str):
             q = SearchQuery(query=q)
         epoch, idx = self._live(index)
+        # K1: engine-level result LRU (TTL 300s, 100 entries —
+        # reference: src/Search/SearchEngine.php:2375-2417). The key
+        # hashes FULL facet/aggregation option dicts and the highlight
+        # length — queries differing only in options must not collide —
+        # and the index epoch, so mutations invalidate without a
+        # manual clear_cache() (reference K2 hooks,
+        # src/Storage/SqliteStorage.php:364-367,708-711). The same key
+        # addresses the prepared page-plan LRU, which bypass_cache does
+        # NOT bypass (it skips result reuse only).
+        import hashlib
+        plan_key = (index, epoch, hashlib.md5(repr(
+            (q.query, q.limit, q.offset, q.filters, sorted(q.sort.items()),
+             q.fuzzy, q.fuzziness, q.min_score, q.unique_by_route,
+             q.highlight, q.highlight_length,
+             sorted((k, sorted(v.items())) for k, v in q.facets.items()),
+             sorted((k, sorted(v.items())) for k, v in q.aggregations.items()),
+             sorted(q.boost_fields.items()), repr(q.geo_filters),
+             q.result_fields)).encode()).hexdigest())
         cache_key = None
         if not q.bypass_cache:
-            # K1: engine-level result LRU (TTL 300s, 100 entries —
-            # reference: src/Search/SearchEngine.php:2375-2417). The key
-            # hashes FULL facet/aggregation option dicts and the highlight
-            # length — queries differing only in options must not collide —
-            # and the index epoch, so mutations invalidate without a
-            # manual clear_cache() (reference K2 hooks,
-            # src/Storage/SqliteStorage.php:364-367,708-711).
-            import hashlib
-            cache_key = (index, epoch, hashlib.md5(repr(
-                (q.query, q.limit, q.offset, q.filters, sorted(q.sort.items()),
-                 q.fuzzy, q.fuzziness, q.min_score, q.unique_by_route,
-                 q.highlight, q.highlight_length,
-                 sorted((k, sorted(v.items())) for k, v in q.facets.items()),
-                 sorted((k, sorted(v.items())) for k, v in q.aggregations.items()),
-                 sorted(q.boost_fields.items()), repr(q.geo_filters),
-                 q.result_fields)).encode()).hexdigest())
+            cache_key = plan_key
             hit = self._cache_get(cache_key)
             if hit is not None:
                 return hit
@@ -544,10 +574,11 @@ class Engine:
                     idx, node, scores, q, fetch_n)
                 handles = handles + extra_handles
             elif docs_in_set:
-                rows, total = self._page_and_total(matched, order, fetch_n)
+                rows, total = self._page_and_total(matched, order, fetch_n,
+                                                   plan_key=plan_key)
             else:
                 rows, total = self._page_and_total_enriched(
-                    matched, idx._docs, fetch_n)
+                    matched, idx._docs, fetch_n, plan_key=plan_key)
 
             # ---- driver-side processResults (row-level, ≤ fetch_n rows) ----
             if rescore_live and not route_live:
