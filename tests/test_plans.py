@@ -109,19 +109,24 @@ def test_with_docs_uses_broadcast_join(index):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_wholestage_codegen_on_scoring(index):
+def test_wholestage_codegen_on_scoring(spark, index):
     from yetisearch_spark.query import parse_query
     df = index.match_scores(parse_query("(data AND process) OR system"))
-    df.collect()  # AQE finalizes the plan on execution
+    df.collect()  # fill the decode caches
     plan = _plan(df)
     # '*(n)' markers are WholeStageCodegen spans in treeString output
     assert "*(" in plan
-    # round-2 scoring shape: contributions union → ONE hash aggregation
-    # shuffle; no join operators at all (the per-slot full_outer chain of
-    # the first design shuffled once per scoring slot)
-    final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
-    assert "Join" not in final
-    assert final.count("Exchange hashpartitioning") == 1, final
+    # scoring shape: contributions union → ONE hash aggregation with NO
+    # per-query exchange (the co-partitioned caches carry the
+    # partitioning through the union); no join operators at all
+    with no_aqe(spark):
+        # bypass the prepared-plan LRU (it would hand back the
+        # AQE-compiled frame from the collect above)
+        nodes = nodes_above_cache(index._match_scores_build(
+            parse_query("(data AND process) OR system"), None))
+    assert not any("Join" in n for n in nodes), nodes
+    assert len(_shuffles(nodes)) == 0, nodes
+    assert any("HashAggregate" in n for n in nodes), nodes
 
 
 def test_or_query_single_shuffle_any_width(spark, index):

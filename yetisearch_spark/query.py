@@ -490,7 +490,12 @@ class SearchIndex:
 
     # -- postings access ----------------------------------------------------
 
-    def _cached_decoded(self, key: tuple, factory) -> DataFrame:
+    #: df at/above which a cached decode keeps the full co-partition
+    #: width (below it, one partition — see _cached_decoded docstring)
+    COPART_MIN_DF = 100_000
+
+    def _cached_decoded(self, key: tuple, factory,
+                        n_docs_hint: int | None = None) -> DataFrame:
         """Per-term/prefix decoded-postings cache (persisted, LRU).
 
         Cached frames are CO-PARTITIONED on doc_id (one shuffle at cache
@@ -498,15 +503,26 @@ class SearchIndex:
         joins between cached terms then need no exchange at all, and the
         OR aggregation shuffles pre-bucketed balanced partitions. Hot
         AND latency measured 6× lower with this layout (0.19s → 0.03s
-        at 200k docs / 8 cores)."""
+        at 200k docs / 8 cores).
+
+        ``n_docs_hint`` (the term's df, known driver-side for free)
+        picks the width: terms under COPART_MIN_DF collapse to ONE
+        partition — filling a 50-row frame across 32 shuffle partitions
+        schedules 32 no-op tasks per term, which dominated the fuzzy
+        path's 30-variation cold fill. Head terms keep the full width,
+        so head∧head joins stay co-partitioned; tiny frames are
+        auto-broadcast by size stats anyway."""
         if not self._cache_postings:
             return factory()
         hit = self._decoded_cache.get(key)
         if hit is not None:
             self._decoded_cache.move_to_end(key)
             return hit
+        width = self._cache_partitions if (n_docs_hint is None
+                                           or n_docs_hint >= self.COPART_MIN_DF) \
+            else 1
         df = (factory()
-              .repartition(self._cache_partitions, "doc_id")
+              .repartition(width, "doc_id")
               .persist())
         self._decoded_cache[key] = df
         while len(self._decoded_cache) > self.DECODED_CACHE_MAX:
@@ -547,7 +563,8 @@ class SearchIndex:
                     .where(F.col("term") == term)
                     .select("term", "data")
                     .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
-        return self._cached_decoded(("t", term), factory)
+        df_hint = self.term_stats_for([term]).get(term, (None,))[0]
+        return self._cached_decoded(("t", term), factory, n_docs_hint=df_hint)
 
     def _decoded_for_prefix(self, prefix: str) -> DataFrame:
         def factory():
