@@ -335,6 +335,18 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
 
 
+def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: embedding-cosine near-dup groups over the
+    embeddings table (exact baseline tier — fully SQL-expressible, so
+    pairs AND connected components are value-checked; the LSH-bucketed
+    scale tier is pytest-asserted equal on planted duplicates)."""
+    from yetisearch_spark.dedup import connected_groups
+    from yetisearch_spark.similarity import cosine_pairs_exact
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = cosine_pairs_exact(emb, 0.42).select("a", "b")
+    return connected_groups(pairs).orderBy("doc_id")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic counts. Per-doc predictions materialized; the
     aggregation is oracle-checked over the same predictions."""
@@ -688,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "emb_dedup": q_emb_dedup,
         "langid": q_langid,
         "quality_features": q_quality_features,
         "bm25_weighted_topk": q_bm25_weighted_topk,
@@ -953,6 +966,21 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE
             e AS (SELECT a, b FROM read_parquet('{MAT_DIR}/minhash_pairs/*.parquet')),
             sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+            SELECT a AS doc_id, least(a, min(b)) AS group_id
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        "emb_dedup": """
+            WITH RECURSIVE
+            p AS (SELECT a.vec_id AS a, b.vec_id AS b
+                  FROM embeddings a JOIN embeddings b
+                    ON a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.embedding, b.embedding)
+                        >= 0.42),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
             reach(a, b) AS (
                 SELECT a, b FROM sym
                 UNION

@@ -55,7 +55,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # JVM/codegen warmup so the first timed query isn't charged for it
-    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    # (the later headline queries run against an already-warm JVM, so
+    # warming scan+explode+agg+sort paths keeps the comparison fair)
+    from pyspark.sql import functions as F
+    warm = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    warm.count()
+    (warm.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"))
+     .groupBy("t").count().orderBy(F.desc("count")).limit(5).collect())
 
     # -- headline operator queries over the sf tables -----------------------
     headline = ["bm25_topk", "term_stats", "phrase_count", "dedup_rollup",

@@ -328,3 +328,66 @@ def test_multimodal_audio_video(media):
     frames = sample_video_frames(media, deterministic_fake=True).collect()
     assert len(frames) == 3  # 3500ms // 1000ms
     assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+
+
+def test_embedding_cosine_near_dup_lsh_matches_exact(spark):
+    """Embedding near-dup: planted duplicates (v' = v + small noise) must
+    be found identically by the exact O(n²) tier and the LSH-bucketed
+    scale tier; groups collapse each duplicate family to min id."""
+    import numpy as np
+    import pandas as pd
+    from yetisearch_spark.similarity import (cosine_pairs_exact,
+                                             cosine_pairs_lsh,
+                                             embedding_dup_groups)
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((60, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant near-dups of the first 12 vectors (cosine ≈ 0.995)
+    for i in range(12):
+        v = base[i] / np.linalg.norm(base[i])
+        dup = v + 0.05 * rng.standard_normal(32) / np.sqrt(32)
+        rows.append((1000 + i, (dup / np.linalg.norm(dup)).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    exact = {(r["a"], r["b"])
+             for r in cosine_pairs_exact(df, 0.9).collect()}
+    lsh = {(r["a"], r["b"])
+           for r in cosine_pairs_lsh(df, 0.9, n_planes=8,
+                                     n_tables=8).collect()}
+    assert exact == lsh
+    assert len(exact) == 12
+    assert all(b == a + 1000 for a, b in exact)
+
+    groups = {r["doc_id"]: r["group_id"]
+              for r in embedding_dup_groups(df, 0.9).collect()}
+    assert groups == {**{i: i for i in range(12)},
+                      **{1000 + i: i for i in range(12)}}
+
+
+def test_connected_groups_star_with_high_id_hub(spark):
+    """Regression: a component whose hub id exceeds its leaves' ids
+    (edges 24—200, 45—200, 300—301) — leaf 45's own id is below all its
+    neighbors, so pure pointer jumping left it a self-pointing root and
+    split the component. Must collapse to min id 24."""
+    from yetisearch_spark.dedup import connected_groups
+
+    edges = spark.createDataFrame([(24, 200), (45, 200), (300, 301)],
+                                  "a long, b long")
+    got = {r["doc_id"]: r["group_id"] for r in connected_groups(edges).collect()}
+    assert got == {24: 24, 45: 24, 200: 24, 300: 300, 301: 300}
+
+
+def test_connected_groups_layered_stars(spark):
+    """Two high-id hubs bridged by an even higher node; every leaf id is
+    below its hub (the worst case for pointer-only propagation)."""
+    from yetisearch_spark.dedup import connected_groups
+
+    edges = [(1, 500), (2, 500), (3, 600), (4, 600), (500, 700), (600, 700)]
+    got = {r["doc_id"]: r["group_id"] for r in
+           connected_groups(spark.createDataFrame(edges, "a long, b long")).collect()}
+    assert set(got.values()) == {1}
+    assert got == {k: 1 for k in (1, 2, 3, 4, 500, 600, 700)}

@@ -101,18 +101,33 @@ def _shingle_set_col(text_col: str, shingle: int):
 
 def connected_groups(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """(a, b) undirected edges → (doc_id, group_id = min id of the
-    connected component). Pointer-jumping min-propagation run to FIXPOINT
-    (one changed-row count job per round; rounds ≈ log2(longest chain),
-    so a 20-doc boilerplate chain converges in ~5 — the fixed 3-round
-    variant split long chains into several groups)."""
+    connected component). Run to FIXPOINT (one changed-row count job per
+    round).
+
+    Each round does BOTH label steps — they need each other:
+      1. edge propagation: every node adopts min(own label, neighbors'
+         labels). Without it, a node whose own id is below all its
+         neighbors' ids is a self-pointing root that pointer jumping can
+         never merge (star components with a high-id hub split — cliques
+         and chains masked this until the embedding-dedup oracle hit it).
+      2. pointer jumping: g(v) ← g(g(v)) path compression, which turns
+         O(diameter) convergence into ~O(log diameter) rounds.
+    At fixpoint labels are equal across every edge, hence constant per
+    component and equal to the component's min id."""
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     groups = (sym.groupBy("a").agg(F.min("b").alias("g"))
               .select(F.col("a").alias("doc_id"),
                       F.least("a", "g").alias("group_id"))).persist()
     for _ in range(max_iters):
-        g2 = (groups.alias("x")
-              .join(groups.select(F.col("doc_id").alias("group_id"),
+        nbr = (sym.alias("e")
+               .join(groups.alias("g"),
+                     F.col("e.b") == F.col("g.doc_id"))
+               .select(F.col("e.a").alias("doc_id"), F.col("g.group_id")))
+        merged = (groups.unionByName(nbr)
+                  .groupBy("doc_id").agg(F.min("group_id").alias("group_id")))
+        g2 = (merged.alias("x")
+              .join(merged.select(F.col("doc_id").alias("group_id"),
                                   F.col("group_id").alias("g2")).alias("y"),
                     "group_id", "left")
               .select("doc_id",

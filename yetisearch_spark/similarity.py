@@ -140,3 +140,79 @@ def ivf_cosine_topk(indexed: DataFrame, centroids: np.ndarray, qvec,
     return (indexed.where(F.col("cell").isin(probes))
             .select(F.col(id_col), cos.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (the dedup-family member over
+# vectors: pairs/groups of docs whose embeddings are near-identical)
+# ---------------------------------------------------------------------------
+
+def _pair_cosine() -> Column:
+    """cosine(va, vb) over the paired columns produced by the pair joins
+    below — one JVM fold, no Python."""
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.col("na") * F.col("nb"))
+
+
+def _pair_sides(df: DataFrame, vec_col: str, id_col: str):
+    base = df.select(F.col(id_col), F.col(vec_col),
+                     norm_expr(vec_col).alias("_n"))
+    a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                    F.col("_n").alias("na"))
+    b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                    F.col("_n").alias("nb"))
+    return a, b
+
+
+def cosine_pairs_exact(df: DataFrame, threshold: float,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """All (a, b, cos_sim) id pairs with cosine ≥ threshold — the exact
+    baseline tier (O(n²) nested-loop join; use cosine_pairs_lsh at
+    scale, which this tier exists to verify)."""
+    a, b = _pair_sides(df, vec_col, id_col)
+    cs = _pair_cosine()
+    return (a.join(b, F.col("a") < F.col("b"))
+            .select("a", "b", cs.alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
+def cosine_pairs_lsh(df: DataFrame, threshold: float,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_planes: int = 8, n_tables: int = 8,
+                     seed: int = 99, dim: int | None = None) -> DataFrame:
+    """Near-dup pairs at scale: random-hyperplane LSH buckets generate
+    candidates (equi-joins on bucket keys — only same-bucket rows meet),
+    exact cosine verifies them. Recall grows with n_tables and with the
+    threshold (near-identical vectors collide in almost every table);
+    tests assert parity with cosine_pairs_exact on planted duplicates."""
+    indexed, _tables = lsh_index(df, vec_col, n_planes=n_planes,
+                                 n_tables=n_tables, dim=dim, seed=seed)
+    cand = None
+    for t in range(len(_tables)):
+        l = indexed.select(F.col(id_col).alias("a"),
+                           F.col(f"bucket_{t}").alias("bk"))
+        r = indexed.select(F.col(id_col).alias("b"),
+                           F.col(f"bucket_{t}").alias("bk"))
+        part = (l.join(r, "bk").where(F.col("a") < F.col("b"))
+                .select("a", "b"))
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.dropDuplicates(["a", "b"])
+    a, b = _pair_sides(df, vec_col, id_col)
+    cs = _pair_cosine()
+    return (cand.join(a, "a").join(b, "b")
+            .select("a", "b", cs.alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
+def embedding_dup_groups(df: DataFrame, threshold: float,
+                         method: str = "lsh", **kwargs) -> DataFrame:
+    """→ (doc_id, group_id): connected components over the near-dup
+    pair graph (group = min id), the embedding twin of
+    dedup.minhash_lsh_dedup."""
+    from .dedup import connected_groups
+
+    fn = cosine_pairs_exact if method == "exact" else cosine_pairs_lsh
+    pairs = fn(df, threshold, **kwargs).select("a", "b")
+    return connected_groups(pairs)
