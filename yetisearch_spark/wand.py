@@ -11,10 +11,13 @@ index:
   set of blocks that can possibly contribute to the top-k (exact, not
   heuristic — see per-shape rules below).
 
-  phase 2: decode ONLY the surviving blocks — the survivor set reaches
-  the postings scan as a (term, min_doc) semi-join (broadcast when
-  small), NEVER as a driver-materialized literal list — and score
-  exactly through the union + ordered-aggregate path.
+  phase 2: decode ONLY the surviving blocks, one frame per term. Below
+  the driver cap the concrete block keys push into the parquet scan as
+  literal min_doc predicates (the files are sorted by (term, salt,
+  min_doc), so row-group stats skip the unread data bytes on disk);
+  above it the survivor set reaches the scan as a (term, min_doc)
+  broadcast semi-join plus an O(1)-row envelope predicate — block
+  METADATA is never driver-materialized above the cap.
 
 Phase 1 has two implementations, chosen by a block-count estimate that
 is derived driver-side from term_stats (df / block_size — zero jobs):
@@ -129,6 +132,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     prune_stats = None
     sel_by_term = None
     sel_df = None
+    env_range = None
     if sum(est_blocks.values()) <= driver_cap:
         full_terms, selected, meta_counts = _driver_select(
             meta, terms, stats, idf, shape, k, index=index)
@@ -148,6 +152,20 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     else:
         full_terms, sel_df = _spark_select(meta, terms, idf, est_blocks,
                                            shape, k)
+        if shape == "and" and sel_df is not None and full_terms:
+            # O(1)-row envelope of the rare term's doc ranges, pushed into
+            # the other terms' scans as literal predicates — postings are
+            # sorted by (term, salt, min_doc), so row-group stats skip the
+            # unread data bytes on disk. The precise broadcast range
+            # semi-join still applies on what survives; this only bounds
+            # the IO. (A single aggregated row, not block metadata — the
+            # no-metadata-collect property of the Spark phase-1 holds.)
+            rare = full_terms[0]
+            env = (meta.where(F.col("term") == rare)
+                   .agg(F.min("min_doc").alias("lo"),
+                        F.max("max_doc").alias("hi")).collect()[0])
+            if env["lo"] is not None:
+                env_range = (int(env["lo"]), int(env["hi"]))
 
     from .query import _DECODED_SCHEMA, _decode_factory
     from .xxhash64 import bucket_of
@@ -186,6 +204,9 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
                     [(t, m) for m in mins], "term string, min_doc long"))
                 scan = scan.join(sel_t, ["term", "min_doc"], "left_semi")
         elif sel_df is not None:
+            if env_range is not None:
+                scan = scan.where((F.col("min_doc") <= env_range[1])
+                                  & (F.col("max_doc") >= env_range[0]))
             scan = scan.join(F.broadcast(sel_df.where(F.col("term") == t)),
                              ["term", "min_doc"], "left_semi")
         return scan.select("term", "data").mapInPandas(
