@@ -186,3 +186,56 @@ def test_rescore_candidates_matches_driver_loop(spark):
     want = [field_weighted_score("data query", {"title": t}, {"title": 3.0}, s)
             for t, s in zip(pdf["title"], pdf["score"])]
     assert out["score"].tolist() == pytest.approx(want)
+
+
+def test_segment_serving_scores_match_compacted_index(spark, tmp_path):
+    """Append-only workloads: the GlobalSegmentedIndex (base + segment,
+    union relations, global stats) must score IDENTICALLY (1e-9) to the
+    fully compacted single index — df / n_docs / avgdl / phrase df all
+    global, unlike a per-part multi-index merge."""
+    from yetisearch_spark.query import SearchIndex
+    from yetisearch_spark.streaming import (GlobalSegmentedIndex,
+                                            append_segment, compact)
+
+    pdf = generate_transcripts(600, seed=41)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    base_pdf, seg_pdf = pdf.iloc[:400], pdf.iloc[400:]
+    out = str(tmp_path / "gseg_idx")
+    build_index(spark, spark.createDataFrame(base_pdf), out, num_buckets=8)
+    append_segment(spark, out, spark.createDataFrame(seg_pdf), epoch=0)
+
+    live = GlobalSegmentedIndex(spark, out)
+    comp_dir = str(tmp_path / "gseg_compacted")
+    compact(spark, out, comp_dir)
+    cidx = SearchIndex(spark, comp_dir)
+
+    def page(idx, q):
+        rows = idx.search(q, k=40, with_docs=True).collect()
+        return {(r["conv_id"], r["turn_idx"]): r["score"] for r in rows}
+
+    for q in ["data", "data AND process", '"data process"',
+              "comput*", "error OR fail", 'NEAR("search" "index", 8)']:
+        a, b = page(live, q), page(cidx, q)
+        assert set(a) == set(b), (q, set(a) ^ set(b))
+        for key in a:
+            assert a[key] == pytest.approx(b[key], rel=1e-9), (q, key)
+
+    live.close()
+    cidx.close()
+
+
+def test_engine_serves_global_stats_after_upsert(spark, fresh_engine):
+    """The engine's post-mutation serving view reports corpus stats over
+    base + segments (not base-only)."""
+    from yetisearch_spark.streaming import upsert_documents
+
+    eng, out = fresh_engine
+    n0 = eng.get_stats("main")["document_count"]
+    new = pd.DataFrame({
+        "conv_id": ["conv_zz_a", "conv_zz_b"], "turn_idx": [0, 0],
+        "role": ["user", "user"],
+        "text": ["global stats probe one", "global stats probe two"],
+        "tool": [None, None],
+        "ts": [pd.Timestamp("2025-01-01")] * 2})
+    upsert_documents(spark, out, spark.createDataFrame(new), epoch=3)
+    assert eng.get_stats("main")["document_count"] == n0 + 2

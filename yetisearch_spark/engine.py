@@ -224,10 +224,11 @@ class Engine:
         reference: src/Storage/SqliteStorage.php:364-367,708-711).
         Mutations (segment appends, tombstones) bump the manifest epoch;
         a moved epoch re-resolves the serving view — plain SearchIndex
-        when the base is all there is, a UnionIndex over
-        base + segments − tombstones otherwise — and retires the stale
-        view's private caches. The epoch also keys the K1 result cache,
-        so cached pages can never outlive a mutation."""
+        when the base is all there is, a GlobalSegmentedIndex over
+        base + segments − tombstones otherwise (EXACT global BM25 stats,
+        append-only scores identical to the compacted index) — and
+        retires the stale view's private caches. The epoch also keys the
+        K1 result cache, so cached pages can never outlive a mutation."""
         import os
 
         from .build import load_manifest
@@ -242,8 +243,8 @@ class Engine:
             cur[1].close()
         d = base.index_dir
         if list_segments(d) or os.path.isdir(tombstone_path(d)):
-            from .streaming import UnionIndex
-            live = UnionIndex(self.spark, d, base=base)
+            from .streaming import GlobalSegmentedIndex
+            live = GlobalSegmentedIndex(self.spark, d)
         else:
             live = base
         self._live_cache[index] = (epoch, live)

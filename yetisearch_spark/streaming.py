@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import build_index, load_manifest
+from .query import SearchIndex
 
 
 def segment_dir(index_dir: str, epoch: int) -> str:
@@ -232,72 +233,98 @@ class SegmentedIndex:
         return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-class UnionIndex:
-    """Engine-facing serving view over base + committed segments minus
-    tombstones — the surface Engine.search/count/facets need
-    (match_scores / _docs / fields / release), so index mutations become
-    visible to a live Engine without compaction or a manual cache clear.
+class GlobalSegmentedIndex(SearchIndex):
+    """Serving view over base + committed segments minus tombstones with
+    EXACT GLOBAL BM25 statistics: one logical SearchIndex whose postings
+    and docs relations are the UNION of the parts' parquet relations, so
+    df / n_docs / avgdl / phrase-df all compute over the whole corpus —
+    an append-only workload scores IDENTICALLY to the compacted index
+    (tests assert it to 1e-9). This is strictly stronger than the
+    reference's multi-index merge (per-index stats,
+    src/Storage/SqliteStorage.php:1574-1628).
 
-    Per-part BM25 statistics apply (each part scores with its own
-    df/avgdl — the documented pre-compaction trade-off, identical to the
-    reference's multi-index merge, src/Storage/SqliteStorage.php:
-    1574-1628). Compaction restores exact single-index semantics."""
+    Deletes: tombstoned docs are hidden immediately (docs anti-join +
+    match anti-join) and the corpus stats (n_docs, avgdl) are corrected
+    by one tiny aggregate at view construction; only their residual
+    term-df contributions persist until compaction (their postings are
+    inside encoded blocks) — the Lucene delete-vector semantics.
 
-    def __init__(self, spark: SparkSession, index_dir: str, base=None):
-        from .build import parquet_row_count
-        from .query import SearchIndex
+    Construction is file-path based and cheap (no data jobs except the
+    optional tombstone-stat correction); Engine rebuilds the view when
+    the index epoch moves."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_postings: bool = True, cache_docs: bool = True):
+        # deliberately NOT calling SearchIndex.__init__ — the relations
+        # come from the union of parts instead of one directory
+        from collections import OrderedDict
+
+        from pyspark.sql import functions as F
+
+        from .build import load_docs
 
         self.spark = spark
         self.index_dir = index_dir
-        # ``base``: pass the engine's long-lived SearchIndex so its pinned
-        # decoded/doc caches are reused (and never closed by this view);
-        # segments are small and short-lived (compaction folds them in)
-        if base is None:
-            base = SearchIndex(spark, index_dir)
-        self.parts = [base] + [SearchIndex(spark, segment_dir(index_dir, e))
-                               for e in list_segments(index_dir)]
-        self._tomb = load_tombstones(spark, index_dir)
-        base = self.parts[0]
-        self.fields = base.fields
-        self.manifest = base.manifest
-        n_tomb = parquet_row_count(tombstone_path(index_dir)) \
-            if self._tomb is not None else 0
-        self.n_docs = max(0, sum(p.n_docs for p in self.parts) - n_tomb)
-        total = sum(p.n_docs for p in self.parts) or 1
-        self.avgdl = sum(p.avgdl * p.n_docs for p in self.parts) / total
-        self._term_stats = base._term_stats
+        self.manifest = load_manifest(index_dir)
+        cfg = self.manifest.get("config", {})
+        self.num_buckets = int(cfg.get("num_buckets", 32))
+        self.fields = list(cfg.get("fields", ["text"]))
 
-    @property
-    def _docs(self) -> DataFrame:
-        out = None
-        for p in self.parts:
-            out = p._docs if out is None else out.unionByName(p._docs)
+        part_dirs = [index_dir] + [segment_dir(index_dir, e)
+                                   for e in list_segments(index_dir)]
+        postings = docs = term_stats = None
+        n_docs, tok_total = 0, 0.0
+        for p in part_dirs:
+            m = load_manifest(p)
+            pp = spark.read.parquet(os.path.join(p, "postings"))
+            postings = pp if postings is None else postings.unionByName(pp)
+            dd = load_docs(spark, p, m)
+            docs = dd if docs is None else docs.unionByName(dd)
+            ts = spark.read.parquet(os.path.join(p, "term_stats"))
+            term_stats = ts if term_stats is None \
+                else term_stats.unionByName(ts)
+            gs = spark.read.parquet(os.path.join(p, "global_stats")).collect()[0]
+            n_docs += int(gs["n_docs"])
+            tok_total += float(gs["avgdl"] or 0.0) * int(gs["n_docs"])
+
+        self._tomb = load_tombstones(spark, index_dir)
         if self._tomb is not None:
-            out = out.join(self._tomb, "doc_id", "left_anti")
-        return out
+            # correct the corpus stats for hidden docs (ONE tiny agg at
+            # construction; FTS5 updates its stats on delete too)
+            row = (docs.join(self._tomb, "doc_id", "left_semi")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("doc_len").alias("toks")).collect()[0])
+            n_docs -= int(row["n"])
+            tok_total -= float(row["toks"] or 0.0)
+            docs = docs.join(self._tomb, "doc_id", "left_anti")
+
+        self.n_docs = n_docs
+        self.avgdl = (tok_total / n_docs) if n_docs else 1.0
+        self._postings = postings
+        self._term_stats = (term_stats.groupBy("bucket", "term")
+                            .agg(F.sum("df").cast("long").alias("df"),
+                                 F.sum("cf").cast("long").alias("cf")))
+        self._docs = docs.persist() if cache_docs else docs
+        self._docs_cached = cache_docs
+        self._vocab_cache = None
+        self._cache_postings = cache_postings
+        self._cache_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self._decoded_cache = OrderedDict()
+        self._match_cache = OrderedDict()
+        self._df_count_cache = {}
+        self._plan_cache = OrderedDict()
+        self._handle_groups = []
+        # everything else (scoring, caches, prepared plans, release/close)
+        # is inherited SearchIndex behavior over the union relations
 
     def match_scores(self, node, weights=None) -> DataFrame:
-        handles: list = []
-        merged = None
-        for p in self.parts:
-            s = p.match_scores(node, weights=weights)
-            handles.extend(getattr(s, "_ys_handles", []))
-            merged = s if merged is None else merged.unionByName(s)
+        out = super().match_scores(node, weights=weights)
         if self._tomb is not None:
-            merged = merged.join(self._tomb, "doc_id", "left_anti")
-        merged._ys_handles = handles  # type: ignore[attr-defined]
-        return merged
-
-    def release(self, handles) -> None:
-        # handles may span parts; per-part registries are bounded anyway
-        for h in handles or []:
-            h.unpersist()
-
-    def close(self) -> None:
-        # the base part's caches belong to the long-lived engine; only
-        # segment parts are private to this view
-        for p in self.parts[1:]:
-            p.close()
+            handles = getattr(out, "_ys_handles", [])
+            out = out.join(self._tomb, "doc_id", "left_anti")
+            out._ys_handles = handles  # type: ignore[attr-defined]
+        return out
 
 
 def compact(spark: SparkSession, index_dir: str, out_dir: str,
