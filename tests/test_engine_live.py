@@ -239,3 +239,72 @@ def test_engine_serves_global_stats_after_upsert(spark, fresh_engine):
         "ts": [pd.Timestamp("2025-01-01")] * 2})
     upsert_documents(spark, out, spark.createDataFrame(new), epoch=3)
     assert eng.get_stats("main")["document_count"] == n0 + 2
+
+
+def test_sort_priority_order_distinguishes_cache_keys(geo_engine):
+    """{'a': asc, 'b': asc} and {'b': asc, 'a': asc} are DIFFERENT sorts
+    (ORDER BY priority is insertion order) — the K1/plan keys must not
+    collide (round-3 review finding)."""
+    q1 = SearchQuery(query="search", limit=5,
+                     sort={"turn_idx": "asc", "doc_id": "asc"})
+    q2 = SearchQuery(query="search", limit=5,
+                     sort={"doc_id": "asc", "turn_idx": "asc"})
+    r1 = geo_engine.search("g", q1)
+    r2 = geo_engine.search("g", q2)
+    ids1 = [r["document"]["doc_id"] for r in r1["results"]]
+    ids2 = [r["document"]["doc_id"] for r in r2["results"]]
+    # doc_id-primary sort is strictly increasing doc_ids
+    assert ids2 == sorted(ids2)
+    turns1 = [r["document"]["turn_idx"] for r in r1["results"]]
+    assert turns1 == sorted(turns1)
+    assert ids1 != ids2  # different sorts -> different pages
+
+
+def test_facets_over_array_column(geo_engine):
+    """Array-typed facet values must count (the old Spark groupBy handled
+    them; the driver-side counter must too)."""
+    q = SearchQuery(query="search", facets={"tokens": {"limit": 3}})
+    out = geo_engine.facets("g", q)
+    assert "tokens" in out and len(out["tokens"]) > 0
+    assert all(isinstance(b["value"], list) for b in out["tokens"])
+
+
+def test_corrector_sees_segment_vocabulary(spark, fresh_engine):
+    """Fuzzy correction must pick up terms that exist only in appended
+    segments (epoch-keyed corrector, round-3 review finding)."""
+    from yetisearch_spark.streaming import upsert_documents
+
+    eng, out = fresh_engine
+    marker = "zyglobulark"
+    new = pd.DataFrame({
+        "conv_id": [f"conv_zz_{i}" for i in range(3)],
+        "turn_idx": [0, 0, 0], "role": ["user"] * 3,
+        "text": [f"the {marker} device hums, {marker} again"] * 3,
+        "tool": [None] * 3, "ts": [pd.Timestamp("2025-01-01")] * 3})
+    upsert_documents(spark, out, spark.createDataFrame(new), epoch=5)
+    res = eng.search("main", SearchQuery(query="zyglobulerk", fuzzy=True,
+                                         limit=5))
+    assert res["total"] >= 3, res
+
+
+def test_pruned_topk_respects_tombstones(spark, tmp_path):
+    """The pruning path must hide tombstoned docs exactly like the exact
+    path on a segmented serving view (round-3 review finding)."""
+    from yetisearch_spark.query import SearchIndex
+    from yetisearch_spark.streaming import GlobalSegmentedIndex, delete_docs
+    from yetisearch_spark.wand import pruned_topk
+
+    out = str(tmp_path / "wand_tomb_idx")
+    pdf = generate_transcripts(500, seed=29)
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    base = SearchIndex(spark, out)
+    victim = base.search("search", k=1).collect()[0]["doc_id"]
+    base.close()
+    delete_docs(spark, out, [victim])
+    live = GlobalSegmentedIndex(spark, out)
+    got = [r["doc_id"] for r in
+           pruned_topk(live, "search", k=10, gate_blocks=0).collect()]
+    exact = [r["doc_id"] for r in live.search("search", k=10).collect()]
+    assert victim not in got
+    assert got == exact
+    live.close()

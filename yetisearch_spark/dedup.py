@@ -114,8 +114,11 @@ def connected_groups(edges: DataFrame, max_iters: int = 25) -> DataFrame:
          O(diameter) convergence into ~O(log diameter) rounds.
     At fixpoint labels are equal across every edge, hence constant per
     component and equal to the component's min id."""
+    # persist the symmetric edge list: every fixpoint round joins it, and
+    # an un-persisted sym would re-run the whole upstream pair-generation
+    # pipeline (LSH + verify / O(n²) cosine) once per round
     sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     groups = (sym.groupBy("a").agg(F.min("b").alias("g"))
               .select(F.col("a").alias("doc_id"),
                       F.least("a", "g").alias("group_id"))).persist()
@@ -142,6 +145,7 @@ def connected_groups(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         groups = g2
         if changed == 0:
             break
+    sym.unpersist()
     return groups
 
 

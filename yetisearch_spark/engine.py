@@ -245,6 +245,11 @@ class Engine:
         if list_segments(d) or os.path.isdir(tombstone_path(d)):
             from .streaming import GlobalSegmentedIndex
             live = GlobalSegmentedIndex(self.spark, d)
+            if cur is None or cur[1] is base:
+                # the base's pinned doc store / decode caches are unused
+                # while segments exist — drop them (close() leaves the
+                # SearchIndex usable; caches refill on demand if touched)
+                base.close()
         else:
             live = base
         self._live_cache[index] = (epoch, live)
@@ -252,19 +257,23 @@ class Engine:
 
     def corrector(self, index: str):
         """Broadcast-vocabulary Corrector (reference getIndexedTerms shape:
-        df ≥ min_term_frequency, top max_indexed_terms by frequency)."""
-        if index not in self._correctors:
+        df ≥ min_term_frequency, top max_indexed_terms by frequency).
+        Keyed by the index EPOCH and built from the live serving view's
+        term stats, so appended segments' vocabulary becomes correctable
+        without a manual cache clear (same contract as K1)."""
+        epoch, idx = self._live(index)
+        key = (index, epoch)
+        if key not in self._correctors:
             from .correction import Corrector
 
-            idx = self.indexes[index]
             rows = (idx._term_stats
                     .where(F.col("df") >= self.config["min_term_frequency"])
                     .orderBy(F.desc("df"))
                     .limit(self.config["max_indexed_terms"])
                     .select("term", "df").collect())
-            self._correctors[index] = Corrector(
-                {r["term"]: int(r["df"]) for r in rows})
-        return self._correctors[index]
+            self._correctors = {key: Corrector(
+                {r["term"]: int(r["df"]) for r in rows})}
+        return self._correctors[key]
 
     # -- query compilation (reference processQuery,
     # src/Search/SearchEngine.php:394-654) ------------------------------------
@@ -470,7 +479,7 @@ class Engine:
         # NOT bypass (it skips result reuse only).
         import hashlib
         plan_key = (index, epoch, hashlib.md5(repr(
-            (q.query, q.limit, q.offset, q.filters, sorted(q.sort.items()),
+            (q.query, q.limit, q.offset, q.filters, list(q.sort.items()),
              q.fuzzy, q.fuzziness, q.min_score, q.unique_by_route,
              q.highlight, q.highlight_length,
              sorted((k, sorted(v.items())) for k, v in q.facets.items()),
@@ -884,34 +893,46 @@ class Engine:
             ranges = opts.get("ranges")
             if ranges:
                 # A3: range facet {to}/{from,to}/{from} — first matching
-                # range wins (the when-chain semantics)
+                # range wins (the when-chain semantics); incomparable
+                # values behave like Catalyst (no match, no crash)
+                def _in_range(v, lo, hi):
+                    try:
+                        return ((lo is None or v >= lo)
+                                and (hi is None or v < hi))
+                    except TypeError:
+                        return False
+
                 buckets = []
                 for r in ranges:
                     lo, hi = r.get("from"), r.get("to")
                     label = (f"{lo if lo is not None else '*'}-"
                              f"{hi if hi is not None else '*'}")
-                    n = 0
-                    for v in vals:
-                        if v is None:
-                            continue
-                        if (lo is None or v >= lo) and (hi is None or v < hi):
-                            n += 1
+                    n = sum(1 for v in vals
+                            if v is not None and _in_range(v, lo, hi))
                     buckets.append((label, n))
                     vals = [v for v in vals
-                            if v is None or not ((lo is None or v >= lo)
-                                                 and (hi is None or v < hi))]
+                            if v is None or not _in_range(v, lo, hi)]
                 out[fld] = [{"value": lbl, "count": n}
                             for lbl, n in buckets if n > 0]
             else:
                 min_count = opts.get("min_count", 1)
                 limit = opts.get("limit", 10)
                 counts: dict = {}
+                first_form: dict = {}
                 for v in vals:
-                    if v is not None:
-                        counts[v] = counts.get(v, 0) + 1
-                items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-                out[fld] = [{"value": v, "count": n}
-                            for v, n in items if n >= min_count][:limit]
+                    if v is None:
+                        continue
+                    # array/map facet values aren't hashable — count by a
+                    # canonical form, report the original (the old Spark
+                    # groupBy handled these types too)
+                    k = tuple(v) if isinstance(v, list) else (
+                        tuple(sorted(v.items())) if isinstance(v, dict) else v)
+                    counts[k] = counts.get(k, 0) + 1
+                    first_form.setdefault(k, v)
+                items = sorted(counts.items(),
+                               key=lambda kv: (-kv[1], str(kv[0])))
+                out[fld] = [{"value": first_form[k], "count": n}
+                            for k, n in items if n >= min_count][:limit]
         return out
 
     def aggregations(self, index: str, q: SearchQuery,
@@ -920,18 +941,18 @@ class Engine:
         the reference but stubbed there (SearchEngine.php:1309-1314).
         All specs evaluate in ONE .agg() → one Spark action regardless of
         the number of aggregations."""
-        release_handles = None
-        if matched is None:
-            _, idx = self._live(index)
-            matched = self._matches_with_docs(idx, q)
-            release_handles = (idx, getattr(matched, "_ys_handles", []))
-            matched = self._with_geo(idx, matched, q)
         fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
                "count": F.count}
         cols = [fns[spec.get("type", "avg")](spec["field"]).alias(name)
                 for name, spec in q.aggregations.items()]
         if not cols:
             return {}
+        release_handles = None
+        if matched is None:
+            _, idx = self._live(index)
+            matched = self._matches_with_docs(idx, q)
+            release_handles = (idx, getattr(matched, "_ys_handles", []))
+            matched = self._with_geo(idx, matched, q)
         try:
             row = matched.agg(*cols).collect()[0]
         finally:

@@ -563,8 +563,14 @@ class SearchIndex:
                     .where(F.col("term") == term)
                     .select("term", "data")
                     .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
+        key = ("t", term)
+        if not self._cache_postings or key in self._decoded_cache:
+            # the hint only sizes a NEW cache fill — don't pay a term-stats
+            # lookup (a collect job on >2M-term vocabularies) on LRU hits
+            # or when caching is off
+            return self._cached_decoded(key, factory)
         df_hint = self.term_stats_for([term]).get(term, (None,))[0]
-        return self._cached_decoded(("t", term), factory, n_docs_hint=df_hint)
+        return self._cached_decoded(key, factory, n_docs_hint=df_hint)
 
     def _decoded_for_prefix(self, prefix: str) -> DataFrame:
         def factory():
@@ -758,21 +764,6 @@ class SearchIndex:
                      F.array_sort(F.flatten(F.collect_list("positions")))
                      .alias("positions")))
 
-    def _weighted_tally_expr(self, arr, wvec: tuple):
-        """Σ over an int-position array of the position's field weight
-        (field = pos >> FIELD_SHIFT) — JVM fold, ascending array order
-        (float-identical to the numpy tally in _near_trim)."""
-        from .build import FIELD_SHIFT
-
-        def step(acc, x):
-            fld = F.shiftright(x, FIELD_SHIFT)
-            expr = F.when(fld == 0, F.lit(float(wvec[0])))
-            for i, wi in enumerate(wvec[1:], start=1):
-                expr = expr.when(fld == i, F.lit(float(wi)))
-            return acc + expr.otherwise(F.lit(1.0))
-
-        return F.aggregate(arr, F.lit(0.0), step)
-
     def _near_table(self, node: Near, phrase_tables: dict,
                     wvec: Optional[tuple] = None) -> DataFrame:
         """→ (doc_id, doc_len, tf_0 … tf_{k-1}) for docs satisfying the NEAR
@@ -953,10 +944,12 @@ class SearchIndex:
                 / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double")
                               / self.avgdl)))
 
-    def _weighted_tf(self, pos_col: str, wvec: tuple[float, ...]):
-        """Σ over instances of the instance's field weight — the FTS5
-        aFreq[p] += w[column] accumulation (fts5Bm25Function); the field
-        of an instance is its position >> FIELD_SHIFT."""
+    def _weighted_tally_expr(self, arr, wvec: tuple):
+        """Σ over an int-position array of the position's field weight —
+        the FTS5 aFreq[p] += w[column] accumulation (fts5Bm25Function);
+        field = position >> FIELD_SHIFT. JVM fold in ascending array
+        order (float-identical to the numpy tally in _near_trim). Shared
+        by phrase scoring and the pairwise-NEAR trim."""
         from .build import FIELD_SHIFT
 
         def step(acc, x):
@@ -966,9 +959,11 @@ class SearchIndex:
                 expr = expr.when(fld == i, F.lit(float(wi)))
             return acc + expr.otherwise(F.lit(1.0))
 
-        return F.aggregate(F.coalesce(F.col(pos_col),
-                                      F.array().cast("array<int>")),
-                           F.lit(0.0), step)
+        return F.aggregate(arr, F.lit(0.0), step)
+
+    def _weighted_tf(self, pos_col: str, wvec: tuple[float, ...]):
+        return self._weighted_tally_expr(
+            F.coalesce(F.col(pos_col), F.array().cast("array<int>")), wvec)
 
     def _contrib_expr_weighted(self, pos_col: str, idf: float,
                                wvec: tuple[float, ...]):

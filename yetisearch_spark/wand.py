@@ -118,7 +118,9 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     gate = max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K * k) \
         if gate_blocks is None else gate_blocks
     if sum(est_blocks.values()) < gate:
-        out = index.search(node, k=k)
+        # .select("*") wraps the (possibly plan-cache-shared) frame so the
+        # routing marker never leaks onto other callers' handles
+        out = index.search(node, k=k).select("*")
         out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
                               "est_blocks": sum(est_blocks.values())}
         return out
@@ -278,6 +280,11 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
             F.lit(0.0), lambda acc, x: acc + x["c"])
         scored = (contribs.groupBy("doc_id")
                   .agg(ordered_sum.alias("score")))
+    # segmented serving views carry a tombstone frame — hidden docs must
+    # not reach the page (the exact path anti-joins inside match_scores)
+    tomb = getattr(index, "_tomb", None)
+    if tomb is not None:
+        scored = scored.join(tomb, "doc_id", "left_anti")
     out = (scored.select("doc_id", "score")
            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
     out._pruning_stats = prune_stats  # type: ignore[attr-defined]
