@@ -865,7 +865,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
-                   round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS cos_sim
+                   round(CAST(list_cosine_similarity(embedding,
+                                          (SELECT qv FROM q)) AS DOUBLE), 4) AS cos_sim
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
@@ -993,8 +994,8 @@ def oracle_sql() -> dict[str, str]:
                        FROM read_parquet('{MAT_DIR}/lsh_candidates/*.parquet')),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
-                   round(list_cosine_similarity(e.embedding,
-                                                (SELECT qv FROM q)), 4) AS cos_sim
+                   round(CAST(list_cosine_similarity(e.embedding,
+                                    (SELECT qv FROM q)) AS DOUBLE), 4) AS cos_sim
             FROM embeddings e JOIN c USING(vec_id)
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
@@ -1003,8 +1004,8 @@ def oracle_sql() -> dict[str, str]:
                        FROM read_parquet('{MAT_DIR}/ivf_candidates/*.parquet')),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
-                   round(list_cosine_similarity(e.embedding,
-                                                (SELECT qv FROM q)), 4) AS cos_sim
+                   round(CAST(list_cosine_similarity(e.embedding,
+                                    (SELECT qv FROM q)) AS DOUBLE), 4) AS cos_sim
             FROM embeddings e JOIN c USING(vec_id)
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
