@@ -552,9 +552,16 @@ class SearchIndex:
             self._plan_cache.popitem(last=False)
         return df
 
-    def _decoded_for_term(self, term: str) -> DataFrame:
-        """Decoded postings (with positions) for ONE term; bucket partition
-        pruning + term predicate pushdown reach the parquet scan."""
+    def _decoded_for_term(self, term: str,
+                          with_positions: bool = True) -> DataFrame:
+        """Decoded postings for ONE term; bucket partition pruning + term
+        predicate pushdown reach the parquet scan.
+
+        ``with_positions=False`` skips the position-varint decode (the
+        dominant decode CPU) and caches a much smaller frame — single-term
+        scoring slots only read tf/doc_len, so plain AND/OR/fuzzy queries
+        never pay for positions; phrase/NEAR/weighted paths request the
+        positional variant (cached separately)."""
         def factory():
             from .xxhash64 import bucket_of
             b = bucket_of(term, self.num_buckets)
@@ -562,8 +569,9 @@ class SearchIndex:
                     .where(F.col("bucket") == b)
                     .where(F.col("term") == term)
                     .select("term", "data")
-                    .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
-        key = ("t", term)
+                    .mapInPandas(_decode_factory(with_positions),
+                                 schema=_DECODED_SCHEMA))
+        key = ("t", term, with_positions)
         if not self._cache_postings or key in self._decoded_cache:
             # the hint only sizes a NEW cache fill — don't pay a term-stats
             # lookup (a collect job on >2M-term vocabularies) on LRU hits
@@ -642,10 +650,11 @@ class SearchIndex:
 
     # -- phrase match tables -------------------------------------------------
 
-    def _term_match(self, term: str, in_vocab: bool) -> DataFrame:
+    def _term_match(self, term: str, in_vocab: bool,
+                    with_positions: bool = True) -> DataFrame:
         if not in_vocab:
             return self._empty_match()
-        return (self._decoded_for_term(term)
+        return (self._decoded_for_term(term, with_positions=with_positions)
                 .select("doc_id", "tf", "doc_len", "positions"))
 
     #: per-term frames carrying position arrays broadcast up to this many
@@ -891,13 +900,19 @@ class SearchIndex:
         phrase_tables: dict = {}
         phrase_df: dict = {}
         pending: list = []   # (node, cache_key) needing the batched count job
+        near_members = {p for nr in _unique_nears(node) for p in nr.phrases}
         for p in _unique_phraselike(node):
             if isinstance(p, PrefixNode):
                 key = ("pref", p.prefix)
                 phrase_tables[p] = materialize(key, lambda p=p: self._prefix_match(p))
             elif len(p.terms) == 1:
                 in_vocab = p.terms[0] in term_stats
-                phrase_tables[p] = self._term_match(p.terms[0], in_vocab)
+                # single-term scoring reads only tf/doc_len — skip the
+                # position-varint decode unless this slot feeds a NEAR
+                # trim or field-weighted (positions>>FIELD_SHIFT) scoring
+                need_pos = wvec is not None or p in near_members
+                phrase_tables[p] = self._term_match(p.terms[0], in_vocab,
+                                                    with_positions=need_pos)
                 phrase_df[p] = term_stats.get(p.terms[0], (0, 0))[0]
                 continue
             elif any(t not in term_stats for t in p.terms):

@@ -181,8 +181,9 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     def term_frame(t: str) -> DataFrame:
         if t in full_terms:
             # keep-all-blocks terms reuse the hot per-term decoded cache
-            # (the exact path's pinned frames): no re-scan, no re-decode
-            return index._decoded_for_term(t).select(
+            # (the exact path's pinned frames): no re-scan, no re-decode;
+            # positions are never read on this path → the light variant
+            return index._decoded_for_term(t, with_positions=False).select(
                 "term", "doc_id", "tf", "doc_len",
                 F.lit(None).cast("array<int>").alias("positions"))
         scan = (index._postings
