@@ -391,3 +391,37 @@ def test_connected_groups_layered_stars(spark):
            connected_groups(spark.createDataFrame(edges, "a long, b long")).collect()}
     assert set(got.values()) == {1}
     assert got == {k: 1 for k in (1, 2, 3, 4, 500, 600, 700)}
+
+
+def test_zero_norm_embedding_is_never_a_near_dup(spark):
+    """A zero vector has no direction: 0/0 = NaN, and NaN compares
+    GREATER than any number in Spark SQL, so an unguarded cosine made an
+    all-zero embedding a 'near-dup' of every row and collapsed unrelated
+    docs into one group (round-4 advice finding). It must match nothing
+    and never reach a top-k page above real vectors."""
+    import numpy as np
+    from yetisearch_spark.similarity import (cosine_pairs_exact,
+                                             cosine_pairs_lsh, cosine_topk,
+                                             embedding_dup_groups)
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 8))
+    rows = [(i, (v / np.linalg.norm(v)).tolist()) for i, v in enumerate(base)]
+    dup = base[0] / np.linalg.norm(base[0])
+    rows.append((100, (dup + 1e-3 * rng.standard_normal(8)).tolist()))
+    rows.append((999, [0.0] * 8))  # the poison row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r["a"], r["b"]) for r in cosine_pairs_exact(df, 0.9).collect()}
+    assert exact == {(0, 100)}
+    lsh = {(r["a"], r["b"])
+           for r in cosine_pairs_lsh(df, 0.9, n_planes=6, n_tables=8).collect()}
+    assert 999 not in {x for p in lsh for x in p}
+
+    groups = {r["doc_id"]: r["group_id"]
+              for r in embedding_dup_groups(df, 0.9, method="exact").collect()}
+    assert groups == {0: 0, 100: 0}
+
+    top = cosine_topk(df, base[0], k=3).collect()
+    assert [r["vec_id"] for r in top[:2]] == [0, 100]
+    assert 999 not in [r["vec_id"] for r in top]

@@ -1,0 +1,123 @@
+"""Round-4 review-finding regressions: WAND tombstone soundness routing,
+corrector cache keyed insert, language-aware plan keys, typed facet tie
+ordering."""
+
+import pandas as pd
+import pytest
+
+from yetisearch_spark.build import build_index
+from yetisearch_spark.corpus import generate_transcripts
+from yetisearch_spark.engine import Engine, SearchQuery
+
+
+@pytest.fixture(scope="module")
+def two_indexes(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("r4_two_idx")
+    dirs = {}
+    for name, seed in (("a", 11), ("b", 12)):
+        out = str(root / f"idx_{name}")
+        pdf = generate_transcripts(300, seed=seed)
+        build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+        dirs[name] = out
+    return dirs
+
+
+def test_wand_routes_tombstoned_views_to_exact_path(spark, tmp_path):
+    """Block-max selection bounds assume every block's max score is
+    attained by a VISIBLE doc; tombstones break that (theta can
+    overestimate and prune a block holding the true top-k). A tombstoned
+    serving view must serve the exact path — even when the cost gate is
+    forced open — and stay result-identical to index.search."""
+    from yetisearch_spark.query import SearchIndex
+    from yetisearch_spark.streaming import GlobalSegmentedIndex, delete_docs
+    from yetisearch_spark.wand import pruned_topk
+
+    out = str(tmp_path / "wand_tomb_route")
+    pdf = generate_transcripts(400, seed=37)
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    base = SearchIndex(spark, out)
+    victims = [r["doc_id"] for r in base.search("search", k=3).collect()]
+    base.close()
+    delete_docs(spark, out, victims)
+
+    live = GlobalSegmentedIndex(spark, out)
+    got = pruned_topk(live, "search", k=10, gate_blocks=0)
+    stats = getattr(got, "_pruning_stats", None)
+    assert stats is not None and stats.get("gated") \
+        and stats.get("reason") == "tombstones"
+    rows = [r["doc_id"] for r in got.collect()]
+    exact = [r["doc_id"] for r in live.search("search", k=10).collect()]
+    assert rows == exact
+    assert not set(victims) & set(rows)
+    live.close()
+
+
+def test_corrector_cache_keyed_per_index(spark, two_indexes):
+    """corrector() must INSERT per (index, epoch), not replace the whole
+    dict — alternating fuzzy queries across two indexes must not
+    re-collect either vocabulary (round-4 advice finding)."""
+    eng = Engine(spark, two_indexes)
+    ca1 = eng.corrector("a")
+    cb1 = eng.corrector("b")
+    ca2 = eng.corrector("a")   # would re-collect before the fix
+    cb2 = eng.corrector("b")
+    assert ca1 is ca2
+    assert cb1 is cb2
+    assert ca1 is not cb1
+
+
+def test_corrector_cache_evicts_stale_epochs(spark, tmp_path):
+    from yetisearch_spark.streaming import upsert_documents
+
+    out = str(tmp_path / "r4_epoch_idx")
+    pdf = generate_transcripts(300, seed=13)
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    eng = Engine(spark, {"m": out})
+    c0 = eng.corrector("m")
+    new = pd.DataFrame({
+        "conv_id": ["conv_zz"], "turn_idx": [0], "role": ["user"],
+        "text": ["an appended document about quexolite minerals"],
+        "tool": [None], "ts": [pd.Timestamp("2025-01-01")]})
+    upsert_documents(spark, out, spark.createDataFrame(new), epoch=1)
+    c1 = eng.corrector("m")
+    assert c1 is not c0
+    # the stale epoch's entry was evicted, not retained alongside
+    assert len([k for k in eng._correctors if k[0] == "m"]) == 1
+
+
+def test_plan_key_distinguishes_language(spark, two_indexes):
+    """Two queries identical except for q.language flow through
+    per-language synonym maps — the K1/plan cache must not serve one
+    language's page for the other (round-4 advice finding)."""
+    syn = {"en": {"search": ["lookup"]}, "de": {"search": ["suche"]}}
+    eng = Engine(spark, two_indexes,
+                 config={"enable_synonyms": True, "synonyms": syn})
+    q_en = SearchQuery(query="search", language="en", limit=5)
+    q_de = SearchQuery(query="search", language="de", limit=5)
+    r_en = eng.search("a", q_en)
+    r_de = eng.search("a", q_de)
+    # cache-key separation: the second call compiled its own plan (a
+    # collision would have returned r_en verbatim, same object)
+    assert r_de is not r_en
+    # and a repeat of each language hits its OWN cache entry
+    assert eng.search("a", q_en) is r_en
+    assert eng.search("a", q_de) is r_de
+
+
+def test_facet_ties_order_numeric_values_naturally(spark, tmp_path):
+    """Equal-count numeric facet values must order by value (9 before
+    10), matching `ORDER BY count DESC, field ASC` typed ordering — not
+    lexicographic str() ordering ('10' < '9')."""
+    out = str(tmp_path / "r4_facet_idx")
+    rows = []
+    for i, turn in enumerate([9, 10, 9, 10]):
+        rows.append((f"conv_{i}", turn, "user",
+                     "facet tie ordering probe document", None,
+                     pd.Timestamp("2025-01-01")))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=4)
+    eng = Engine(spark, {"f": out})
+    q = SearchQuery(query="probe", facets={"turn_idx": {"limit": 1}})
+    got = eng.facets("f", q)["turn_idx"]
+    assert got == [{"value": 9, "count": 2}]

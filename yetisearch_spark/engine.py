@@ -271,8 +271,17 @@ class Engine:
                     .orderBy(F.desc("df"))
                     .limit(self.config["max_indexed_terms"])
                     .select("term", "df").collect())
-            self._correctors = {key: Corrector(
-                {r["term"]: int(r["df"]) for r in rows})}
+            # keyed insert (NOT whole-dict replacement — engines serving
+            # several indexes alternate fuzzy queries without re-collecting
+            # each other's vocabulary); evict only stale epochs of THIS
+            # index, and bound the cache for many-index engines
+            self._correctors = {
+                k: v for k, v in self._correctors.items()
+                if not (k[0] == index and k[1] != epoch)}
+            while len(self._correctors) >= 16:
+                self._correctors.pop(next(iter(self._correctors)))
+            self._correctors[key] = Corrector(
+                {r["term"]: int(r["df"]) for r in rows})
         return self._correctors[key]
 
     # -- query compilation (reference processQuery,
@@ -479,7 +488,8 @@ class Engine:
         # NOT bypass (it skips result reuse only).
         import hashlib
         plan_key = (index, epoch, hashlib.md5(repr(
-            (q.query, q.limit, q.offset, q.filters, list(q.sort.items()),
+            (q.query, q.language, q.limit, q.offset, q.filters,
+             list(q.sort.items()),
              q.fuzzy, q.fuzziness, q.min_score, q.unique_by_route,
              q.highlight, q.highlight_length,
              sorted((k, sorted(v.items())) for k, v in q.facets.items()),
@@ -929,8 +939,18 @@ class Engine:
                         tuple(sorted(v.items())) if isinstance(v, dict) else v)
                     counts[k] = counts.get(k, 0) + 1
                     first_form.setdefault(k, v)
-                items = sorted(counts.items(),
-                               key=lambda kv: (-kv[1], str(kv[0])))
+                # tie-break by the NATURAL value when the field's values
+                # compare (matches the old Spark `ORDER BY count DESC,
+                # field ASC` typed ordering — str() would put '10' before
+                # '9'); typed fallback only for mixed-type columns
+                try:
+                    items = sorted(counts.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))
+                except TypeError:
+                    items = sorted(
+                        counts.items(),
+                        key=lambda kv: (-kv[1],
+                                        (type(kv[0]).__name__, str(kv[0]))))
                 out[fld] = [{"value": first_form[k], "count": n}
                             for k, n in items if n >= min_count][:limit]
         return out

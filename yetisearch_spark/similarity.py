@@ -37,11 +37,19 @@ def norm_expr(col: Column | str) -> Column:
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _safe_cos(dot: Column, denom: Column) -> Column:
+    """cosine with the zero-norm case pinned to -1: 0/0 = NaN, and NaN
+    sorts ABOVE every number in Spark SQL, so an unguarded divide puts a
+    zero vector at the top of every descending-cos_sim top-k."""
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(-1.0))
+
+
 def cosine_topk(df: DataFrame, qvec, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force cosine top-k → (id, cos_sim)."""
     qnorm = float(np.sqrt(np.dot(qvec, qvec)))
-    cos = dot_expr(vec_col, qvec) / (norm_expr(vec_col) * F.lit(qnorm))
+    cos = _safe_cos(dot_expr(vec_col, qvec),
+                    norm_expr(vec_col) * F.lit(qnorm))
     return (df.select(F.col(id_col), cos.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))
 
@@ -93,7 +101,7 @@ def lsh_cosine_topk(indexed: DataFrame, tables: list[np.ndarray], qvec,
         c = F.col(f"bucket_{t}") == qb
         cond = c if cond is None else (cond | c)
     qnorm = float(np.sqrt(np.dot(q, q)))
-    cos = dot_expr(vec_col, q) / (norm_expr(vec_col) * F.lit(qnorm))
+    cos = _safe_cos(dot_expr(vec_col, q), norm_expr(vec_col) * F.lit(qnorm))
     return (indexed.where(cond)
             .select(F.col(id_col), cos.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))
@@ -136,7 +144,7 @@ def ivf_cosine_topk(indexed: DataFrame, centroids: np.ndarray, qvec,
     order = np.argsort(-(centroids @ qn))
     probes = [int(c) for c in order[:nprobe]]
     qnorm = float(np.sqrt(np.dot(q, q)))
-    cos = dot_expr(vec_col, q) / (norm_expr(vec_col) * F.lit(qnorm))
+    cos = _safe_cos(dot_expr(vec_col, q), norm_expr(vec_col) * F.lit(qnorm))
     return (indexed.where(F.col("cell").isin(probes))
             .select(F.col(id_col), cos.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k))
@@ -152,7 +160,12 @@ def _pair_cosine() -> Column:
     below — one JVM fold, no Python."""
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.col("na") * F.col("nb"))
+    # a zero-norm vector has no direction: 0/0 = NaN, and NaN compares
+    # GREATER than any number in Spark SQL, so an unguarded divide would
+    # make an all-zero embedding a "near-dup" of every row. Define its
+    # similarity as -1 (never passes a threshold).
+    denom = F.col("na") * F.col("nb")
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(-1.0))
 
 
 def _pair_sides(df: DataFrame, vec_col: str, id_col: str):

@@ -103,6 +103,17 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     ok, terms, shape = _is_simple(node)
     if not ok:
         return index.search(node, k=k)
+    if getattr(index, "_tomb", None) is not None:
+        # Deleted docs make the score-bound selection unsound: block-max
+        # scores may be attained by tombstoned (hidden) docs, so theta
+        # overestimates and a block holding the true top-k can be pruned.
+        # A tombstoned view therefore serves the exact path until
+        # compaction clears the delete vector (append-only segmented
+        # views have _tomb=None and keep the pruned path).
+        out = index.search(node, k=k).select("*")
+        out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
+                              "reason": "tombstones"}
+        return out
     terms = list(dict.fromkeys(terms))
 
     stats = index.term_stats_for(terms)
@@ -281,11 +292,8 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
             F.lit(0.0), lambda acc, x: acc + x["c"])
         scored = (contribs.groupBy("doc_id")
                   .agg(ordered_sum.alias("score")))
-    # segmented serving views carry a tombstone frame — hidden docs must
-    # not reach the page (the exact path anti-joins inside match_scores)
-    tomb = getattr(index, "_tomb", None)
-    if tomb is not None:
-        scored = scored.join(tomb, "doc_id", "left_anti")
+    # tombstoned views were routed to the exact path above (the score
+    # bounds are deletion-unsafe), so phase-2 never sees hidden docs
     out = (scored.select("doc_id", "score")
            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
     out._pruning_stats = prune_stats  # type: ignore[attr-defined]
