@@ -133,3 +133,17 @@ def _pick_terms_engine(index):
         if _fixed_point(r["term"]):
             return r["term"]
     return rows[0]["term"]
+
+
+def test_weighted_three_phrase_near(index, oracle):
+    """k=3 NEAR under non-uniform field weights drives the vectorized
+    trim kernel's weighted tally (position>>FIELD_SHIFT → field weight)
+    — float-exact vs bm25(fts, w_title, w_content) on trimmed doclists."""
+    terms = _pick_terms(oracle)
+    t0, t1, t2 = terms[0], terms[1], terms[2]
+    for weights in [None, (2.0, 1.0), (0.5, 3.0)]:
+        q = f'NEAR("{t0}" "{t1}" "{t2}", 10)'
+        match = Fts5Oracle.match_string("near", [t0, t1, t2], near=10)
+        want = oracle.top_k(match, k=10, weights=weights)
+        got = _spark_topk(index, q, weights)
+        _assert_identical(got, want, ("near3", weights))

@@ -194,3 +194,59 @@ def test_filtered_search(index, oracle, corpus):
     want = [(d, s) for d, s in want_all if role_by_doc[d] == "assistant"][:10]
     _assert_rank_identical([(r["doc_id"], r["score"]) for r in got], want,
                            f"filtered:{t}")
+
+
+def test_near_three_phrases(index, oracle):
+    """k≥3 NEAR exercises the batch-vectorized trim kernel (flat offset
+    arithmetic, round-4) — must stay rank-identical to FTS5's multi-
+    phrase near-group trim."""
+    head, mid, _, _ = _pick_terms(oracle)
+    cases = [(head[0], head[1], head[2], 10),
+             (head[0], mid[0], head[2], 12),
+             (head[0], head[1], mid[1], 6),
+             (head[0], head[1], head[2], 0)]
+    nonempty = 0
+    for a, b, c, n in cases:
+        got = _engine_topk(index, f'NEAR("{a}" "{b}" "{c}", {n})')
+        want = oracle.top_k(oracle.match_string("near", [a, b, c], near=n))
+        _assert_rank_identical(got, want, f"near3:{a},{b},{c},{n}")
+        nonempty += bool(want)
+    assert nonempty >= 2  # the vectorized path actually produced pages
+
+
+def test_phrase_agg_fallback_identical(spark, index, oracle, corpus):
+    """The ≥2-over-cap phrase fallback (one shuffle, pivoted position
+    columns + the JVM intersect chain — round-4 rewrite, no Python
+    kernel) must stay rank-identical to FTS5. Forced by zeroing the
+    broadcast cap on an uncached index."""
+    uncached = SearchIndex(spark, index.index_dir, cache_postings=False,
+                           cache_docs=False)
+    uncached.PHRASE_BCAST_DF_CAP = 0
+    token_lists = analyze_batch(corpus["text"].tolist()[:300])
+    pairs = {}
+    for toks in token_lists:
+        for a, b in zip(toks, toks[1:]):
+            if _fixed_point(a) and _fixed_point(b):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    common = sorted(pairs.items(), key=lambda kv: -kv[1])[:2]
+    # also one trigram phrase (duplicate-shift handling: occurrence i
+    # shifts by i even when a term repeats)
+    tri = None
+    for toks in token_lists:
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            if all(map(_fixed_point, (a, b, c))):
+                tri = (a, b, c)
+                break
+        if tri:
+            break
+    queries = [list(p) for p, _n in common] + ([list(tri)] if tri else [])
+    ran = 0
+    for toks in queries:
+        q = '"' + " ".join(toks) + '"'
+        got = [(r["doc_id"], r["score"])
+               for r in uncached.search(q, k=10).collect()]
+        want = oracle.top_k(oracle.match_string("phrase", toks))
+        _assert_rank_identical(got, want, f"phrase_agg:{toks}")
+        ran += bool(want)
+    assert ran >= 2
+    uncached.close()

@@ -367,15 +367,6 @@ def _phrase_tf(positions_per_term: list[np.ndarray]) -> int:
     return int(starts.size)
 
 
-def _phrase_starts(positions_per_term: list[np.ndarray]) -> np.ndarray:
-    starts = positions_per_term[0]
-    for i, pos in enumerate(positions_per_term[1:], start=1):
-        if starts.size == 0:
-            break
-        starts = starts[np.isin(starts + i, pos)]
-    return starts
-
-
 def _near_trim(instances: list[np.ndarray], plens: list[int], distance: int,
                wvec: Optional[tuple] = None):
     """FTS5 NEAR: an assignment (one instance per phrase) is valid iff
@@ -725,43 +716,46 @@ class SearchIndex:
                         "doc_len", "positions"))
 
     def _phrase_match_agg(self, phrase: Phrase) -> DataFrame:
-        """Fallback phrase kernel for ≥2 over-cap terms: one union+groupBy
-        shuffle, per-doc start intersection in numpy."""
-        terms = phrase.terms
+        """Fallback phrase kernel for ≥2 over-cap terms: ONE union+groupBy
+        shuffle that pivots each distinct term's position array into its
+        own column (conditional-first aggregation — no map building), then
+        the SAME JVM array_intersect start-set chain as the broadcast
+        path. No Python kernel anywhere on the phrase path: the head-
+        phrase-at-100× case stays whole-stage-codegen after its single
+        shuffle."""
+        terms = list(phrase.terms)
+        distinct = sorted(set(terms))
+        idx_of = {t: j for j, t in enumerate(distinct)}
         sub = None
-        for t in sorted(set(terms)):
-            d = self._decoded_for_term(t)
+        for t in distinct:
+            d = self._decoded_for_term(t).select(
+                "term", "doc_id", "doc_len", "positions")
             sub = d if sub is None else sub.unionByName(d)
-        grouped = (sub.groupBy("doc_id")
-                   .agg(F.first("doc_len").alias("doc_len"),
-                        F.map_from_entries(
-                            F.collect_list(F.struct("term", "positions"))
-                        ).alias("posmap"),
-                        F.count_distinct("term").alias("nterms"))
-                   .where(F.col("nterms") >= len(set(terms))))
+        aggs = [F.first("doc_len").alias("doc_len")]
+        aggs += [F.first(F.when(F.col("term") == t, F.col("positions")),
+                         ignorenulls=True).alias(f"_pt{j}")
+                 for j, t in enumerate(distinct)]
+        grouped = sub.groupBy("doc_id").agg(*aggs)
+        present = None
+        for j in range(len(distinct)):
+            c = F.col(f"_pt{j}").isNotNull()
+            present = c if present is None else present & c
+        grouped = grouped.where(present)
 
-        terms_list = list(terms)
-        out_schema = StructType([
-            StructField("doc_id", LongType(), False),
-            StructField("tf", IntegerType(), False),
-            StructField("doc_len", IntegerType(), False),
-            StructField("positions", ArrayType(IntegerType()), True),
-        ])
+        def _shift(off: int):
+            # one-argument lambda (a second parameter would be the index)
+            return lambda x: x - F.lit(off)
 
-        def compute(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                rows = []
-                for doc_id, dl, posmap in zip(pdf["doc_id"], pdf["doc_len"], pdf["posmap"]):
-                    plists = [np.asarray(posmap[t], dtype=np.int64) for t in terms_list]
-                    starts = _phrase_starts(plists)
-                    if starts.size:
-                        rows.append((doc_id, int(starts.size), dl,
-                                     starts.astype(np.int32)))
-                if rows:
-                    yield pd.DataFrame(rows, columns=["doc_id", "tf", "doc_len", "positions"])
-        return grouped.mapInPandas(compute, schema=out_schema)
+        starts = F.col(f"_pt{idx_of[terms[0]]}")
+        for i in range(1, len(terms)):
+            starts = F.array_intersect(
+                starts, F.transform(F.col(f"_pt{idx_of[terms[i]]}"),
+                                    _shift(i)))
+        return (grouped
+                .withColumn("positions", starts)
+                .where(F.size("positions") > 0)
+                .select("doc_id", F.size("positions").cast("int").alias("tf"),
+                        "doc_len", "positions"))
 
     def _prefix_match(self, node: PrefixNode) -> DataFrame:
         # positions = union of all matching terms' instances (kept sorted so
@@ -797,21 +791,76 @@ class SearchIndex:
         fields += [StructField(f"tf_{i}", tf_type, False) for i in range(k)]
         out_schema = StructType(fields)
 
+        from .build import FIELD_SHIFT
+        warr = np.asarray(wvec, dtype=np.float64) if wvec is not None else None
+
         def check(batches):
+            # batch-vectorized _near_trim: every doc's instance lists are
+            # flattened into ONE sorted int64 array per phrase, keyed by
+            # doc_row * big + position (big > max_pos + distance +
+            # max(plens) + 1, so window probes can never cross a doc
+            # boundary) — all searchsorted/window logic then runs once per
+            # batch instead of once per doc (no per-row Python loop;
+            # float-identical to _near_trim, which the plan tests keep as
+            # the reference oracle).
             for pdf in batches:
-                if pdf.empty:
+                n = len(pdf)
+                if n == 0:
                     continue
-                rows = []
-                start_cols = [pdf[f"starts_{i}"] for i in range(k)]
-                for doc_id, doc_len, *starts in zip(pdf["doc_id"],
-                                                    pdf["doc_len"],
-                                                    *start_cols):
-                    inst = [np.asarray(s, dtype=np.int64) for s in starts]
-                    matched, counts = _near_trim(inst, plens, distance, wvec)
-                    if matched:
-                        rows.append((doc_id, doc_len, *counts))
-                if rows:
-                    yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                rows_idx = np.arange(n, dtype=np.int64)
+                flats, docs_of = [], []
+                max_pos = 0
+                for i in range(k):
+                    col = pdf[f"starts_{i}"].to_numpy()
+                    lens = np.fromiter((len(a) for a in col),
+                                       dtype=np.int64, count=n)
+                    flat = (np.concatenate(col).astype(np.int64)
+                            if int(lens.sum()) else
+                            np.empty(0, dtype=np.int64))
+                    if flat.size:
+                        max_pos = max(max_pos, int(flat.max()))
+                    flats.append(flat)
+                    docs_of.append(np.repeat(rows_idx, lens))
+                big = max_pos + distance + max(plens) + 2
+                offs = [flats[i] + docs_of[i] * big for i in range(k)]
+                ends = [offs[j] + (plens[j] - 1) for j in range(k)]
+                ms = np.unique(np.concatenate(ends))
+                ok = np.empty((k, ms.size), dtype=bool)
+                for j in range(k):
+                    lo = np.searchsorted(offs[j], ms - (plens[j] - 1),
+                                         side="left")
+                    hi = np.searchsorted(offs[j], ms + distance + 1,
+                                         side="right")
+                    ok[j] = hi > lo
+                matched = np.zeros(n, dtype=bool)
+                matched[ms[ok.all(axis=0)] // big] = True
+                if not matched.any():
+                    continue
+                out = {"doc_id": pdf["doc_id"].to_numpy()[matched],
+                       "doc_len": pdf["doc_len"].to_numpy()[matched]}
+                for i in range(k):
+                    others = np.ones(ms.size, dtype=bool)
+                    for j in range(k):
+                        if j != i:
+                            others &= ok[j]
+                    valid_ms = ms[others]
+                    xs = offs[i]
+                    lo = np.searchsorted(valid_ms, xs - distance - 1,
+                                         side="left")
+                    hi = np.searchsorted(valid_ms, xs + (plens[i] - 1),
+                                         side="right")
+                    keep = hi > lo
+                    kept_docs = docs_of[i][keep]
+                    if warr is None:
+                        cnt = np.bincount(kept_docs, minlength=n)
+                        out[f"tf_{i}"] = cnt[matched].astype(np.int32)
+                    else:
+                        fld = np.clip(flats[i][keep] >> FIELD_SHIFT,
+                                      0, len(warr) - 1)
+                        cnt = np.bincount(kept_docs, weights=warr[fld],
+                                          minlength=n)
+                        out[f"tf_{i}"] = cnt[matched]
+                yield pd.DataFrame(out)
         return joined.mapInPandas(check, schema=out_schema)
 
     def _near_table_pairwise(self, node: Near, phrase_tables: dict,
