@@ -4,7 +4,7 @@
 
     spark-submit --py-files yetisearch_spark.zip scripts/search_cli.py \
         --index /path/index --query '"data process" OR comp*' [-k 10] \
-        [--mode search|count|suggest|dsl] [--pruned]
+        [--mode search|count|suggest|dsl|explain|verify] [--pruned]
 """
 
 import argparse
@@ -18,13 +18,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default="")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode", default="search",
-                    choices=["search", "count", "suggest", "dsl"])
+                    choices=["search", "count", "suggest", "dsl",
+                             "explain", "verify"])
     ap.add_argument("--pruned", action="store_true",
                     help="use the block-max pruned top-k path")
     args = ap.parse_args()
+    if args.mode != "verify" and not args.query:
+        ap.error("--query is required for this mode")
 
     from pyspark.sql import SparkSession
 
@@ -33,6 +36,21 @@ def main() -> None:
 
     idx = SearchIndex(spark, args.index)
 
+    if args.mode == "verify":
+        # reference index:verify analog (bin/yetisearch:112-129)
+        from yetisearch_spark.debug import verify_index
+        status = verify_index(spark, args.index)
+        print(json.dumps(status, indent=2))
+        spark.stop()
+        sys.exit(0 if status["ok"] else 1)
+    if args.mode == "explain":
+        # reference debug:query analog (bin/yetisearch:130-156)
+        from yetisearch_spark.debug import debug_query
+        print(json.dumps(debug_query(spark, args.index, args.query,
+                                     k=args.k, pruned=args.pruned),
+                         indent=2))
+        spark.stop()
+        return
     if args.mode == "count":
         print(json.dumps({"count": idx.count(args.query)}))
     elif args.mode == "suggest":

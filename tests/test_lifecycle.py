@@ -1,0 +1,171 @@
+"""Segment lifecycle (round-4): auto-compaction trigger, epoch
+monotonicity across the in-place swap, single-job serving-view stats,
+the documented delete-df drift bound, and WAND × segmented serving."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yetisearch_spark.build import build_index
+from yetisearch_spark.corpus import generate_transcripts
+from yetisearch_spark.query import SearchIndex
+from yetisearch_spark.streaming import (GlobalSegmentedIndex, append_segment,
+                                        compact_in_place, delete_docs,
+                                        index_epoch, list_segments)
+
+
+def _pages(idx, queries, k=20):
+    out = {}
+    for q in queries:
+        out[q] = {r["doc_id"]: r["score"] for r in idx.search(q, k=k).collect()}
+    return out
+
+
+QUERIES = ["data", "data AND process", '"data process"', "comput*",
+           "error OR fail"]
+
+
+def test_auto_compaction_triggers_and_serving_identical(spark, tmp_path):
+    """Hitting the segment-count threshold compacts in place: segments
+    drain to zero, the epoch keeps rising, and a twin index built from
+    the full corpus in one shot scores identically (1e-9)."""
+    pdf = generate_transcripts(800, seed=61)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    chunks = [pdf.iloc[:500]] + [pdf.iloc[500 + i * 100: 600 + i * 100]
+                                 for i in range(3)]
+    out = str(tmp_path / "auto_idx")
+    build_index(spark, spark.createDataFrame(chunks[0]), out, num_buckets=8)
+    epochs = [index_epoch(out)]
+    for i, chunk in enumerate(chunks[1:]):
+        append_segment(spark, out, spark.createDataFrame(chunk), epoch=i,
+                       auto_compact_segments=3)
+        epochs.append(index_epoch(out))
+    # 2 appends stay segments; the 3rd hits the threshold and compacts
+    assert list_segments(out) == []
+    assert epochs == sorted(epochs) and len(set(epochs)) == len(epochs)
+
+    twin = str(tmp_path / "twin_idx")
+    build_index(spark, spark.createDataFrame(pdf), twin, num_buckets=8)
+    a = SearchIndex(spark, out)
+    b = SearchIndex(spark, twin)
+    pa, pb = _pages(a, QUERIES), _pages(b, QUERIES)
+    for q in QUERIES:
+        assert set(pa[q]) == set(pb[q]), q
+        for d in pa[q]:
+            assert pa[q][d] == pytest.approx(pb[q][d], rel=1e-9), (q, d)
+    a.close()
+    b.close()
+
+
+def test_no_auto_compaction_when_disabled(spark, tmp_path):
+    pdf = generate_transcripts(400, seed=62)
+    out = str(tmp_path / "manual_idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:300]), out,
+                num_buckets=8)
+    for i in range(3):
+        seg = pdf.iloc[300 + i * 30: 330 + i * 30]
+        append_segment(spark, out, spark.createDataFrame(seg), epoch=i,
+                       auto_compact_segments=None)
+    assert len(list_segments(out)) == 3
+
+
+def test_segmented_view_stats_single_job(spark, tmp_path):
+    """GlobalSegmentedIndex construction must run ONE corpus-stats job
+    regardless of segment count (a per-part collect loop made view
+    construction linear in #segments — round-4 verdict order)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    pdf = generate_transcripts(500, seed=63)
+    out = str(tmp_path / "onejob_idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:300]), out,
+                num_buckets=8)
+    for i in range(4):
+        seg = pdf.iloc[300 + i * 50: 350 + i * 50]
+        append_segment(spark, out, spark.createDataFrame(seg), epoch=i,
+                       auto_compact_segments=None)
+
+    calls = []
+    orig = CDF.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    CDF.collect = counting
+    try:
+        live = GlobalSegmentedIndex(spark, out)
+    finally:
+        CDF.collect = orig
+    assert len(calls) == 1, f"{len(calls)} collects at view construction"
+    assert live.n_docs == 500
+    live.close()
+
+
+def test_delete_df_drift_bounded_until_compaction(spark, tmp_path):
+    """Documented Lucene delete-vector semantics: n_docs/avgdl are
+    corrected immediately but per-term df keeps deleted docs' residue
+    until compaction, so segmented scores sit at or BELOW the compacted
+    index's (idf with inflated df is smaller), within a bounded relative
+    drift. This test pins the approximation: same doc set, seg <= comp,
+    relative drift < 25% here, and nonzero (it is an approximation,
+    not an identity)."""
+    pdf = generate_transcripts(800, seed=64)
+    out = str(tmp_path / "drift_idx")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    base = SearchIndex(spark, out)
+    # delete every OTHER match of each probe term — survivors keep
+    # matching while the stored df keeps the victims' residue
+    victims = sorted({r["doc_id"] for q in ("data", "process", "error")
+                      for r in base.search(q, k=500).collect()[::2]})
+    base.close()
+    delete_docs(spark, out, victims)
+
+    live = GlobalSegmentedIndex(spark, out)
+    comp = str(tmp_path / "drift_compacted")
+    from yetisearch_spark.streaming import compact
+    compact(spark, out, comp)
+    cidx = SearchIndex(spark, comp)
+    # compacted doc_ids are re-densified; compare via (conv_id, turn_idx)
+    drifts = []
+    for q in QUERIES:
+        a = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
+             live.search(q, k=200, with_docs=True).collect()}
+        b = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
+             cidx.search(q, k=200, with_docs=True).collect()}
+        assert set(a) == set(b), q   # same visible docs match
+        for key in a:
+            assert a[key] <= b[key] * (1 + 1e-9), (q, key)
+            drifts.append(1.0 - a[key] / b[key])
+    assert max(drifts) < 0.25, max(drifts)
+    assert max(drifts) > 0.0   # residual df genuinely shifts scores
+    live.close()
+    cidx.close()
+
+
+def test_pruned_topk_over_segmented_view(spark, tmp_path):
+    """WAND pruning must compose with GlobalSegmentedIndex's union
+    relations (base + 2 appended segments, no deletes): pruned == exact
+    on both driver and spark phase-1 paths (round-4 verdict order)."""
+    from yetisearch_spark.wand import pruned_topk
+
+    pdf = generate_transcripts(900, seed=65)
+    out = str(tmp_path / "wand_seg_idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:600]), out,
+                num_buckets=8)
+    for i in range(2):
+        seg = pdf.iloc[600 + i * 150: 750 + i * 150]
+        append_segment(spark, out, spark.createDataFrame(seg), epoch=i,
+                       auto_compact_segments=None)
+    live = GlobalSegmentedIndex(spark, out)
+    assert live._tomb is None
+    for q in ["data", "data AND process", "error OR fail"]:
+        got = pruned_topk(live, q, k=10, gate_blocks=0)
+        stats = getattr(got, "_pruning_stats", None)
+        assert stats is not None and not stats.get("gated"), (q, stats)
+        a = [(r["doc_id"], r["score"]) for r in got.collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in live.search(q, k=10).collect()]
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-9)
+    live.close()

@@ -121,3 +121,37 @@ def test_facet_ties_order_numeric_values_naturally(spark, tmp_path):
     q = SearchQuery(query="probe", facets={"turn_idx": {"limit": 1}})
     got = eng.facets("f", q)["turn_idx"]
     assert got == [{"value": 9, "count": 2}]
+
+
+def test_verify_index_and_debug_query(spark, two_indexes):
+    """index:verify / debug:query CLI analogs (reference
+    bin/yetisearch:112-156)."""
+    from yetisearch_spark.debug import debug_query, verify_index
+
+    status = verify_index(spark, two_indexes["a"])
+    assert status["ok"], status
+    assert status["docs"] == status["manifest_docs"] \
+        == status["global_stats_docs"]
+    assert status["terms"] > 0 and status["posting_blocks"] > 0
+    assert status["segments"] == [] and status["tombstones"] == 0
+
+    out = debug_query(spark, two_indexes["a"], "data AND process", k=5)
+    assert "And" in out["ast"] or "Phrase" in out["ast"]
+    assert "Physical Plan" in out["plan"]
+
+    out = debug_query(spark, two_indexes["a"], "data", k=5, pruned=True)
+    assert out["pruning"] is not None   # gated or pruned, always reported
+
+
+def test_verify_index_flags_missing_parts(spark, tmp_path):
+    import shutil
+
+    from yetisearch_spark.debug import verify_index
+
+    pdf = generate_transcripts(100, seed=15)
+    out = str(tmp_path / "broken_idx")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=4)
+    shutil.rmtree(f"{out}/term_stats")
+    status = verify_index(spark, out)
+    assert not status["ok"]
+    assert status["error"] == "missing layout parts"

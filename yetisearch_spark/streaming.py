@@ -82,10 +82,25 @@ def high_water_doc_id(index_dir: str) -> int:
     return total
 
 
+#: default auto-compaction trigger: compact when a mutated index
+#: accumulates this many segments (query scan width and serving-view
+#: construction cost grow linearly in segment count; the reference's
+#: `optimize` is manual — src/Storage/SqliteStorage.php:1383-1395 — so
+#: any automatic policy is parity-plus). Override per append via
+#: ``auto_compact_segments`` (None disables, matching reference parity).
+AUTO_COMPACT_SEGMENTS = 16
+
+
 def append_segment(spark: SparkSession, index_dir: str,
-                   transcripts: DataFrame, epoch: int, **build_kwargs) -> dict:
+                   transcripts: DataFrame, epoch: int,
+                   auto_compact_segments: int | None = AUTO_COMPACT_SEGMENTS,
+                   **build_kwargs) -> dict:
     """Build one incremental segment (a full mini-index) whose doc_ids
-    start at the current high-water mark."""
+    start at the current high-water mark. When the committed segment
+    count reaches ``auto_compact_segments`` the index is compacted in
+    place (S9 'optimize' with a lifecycle trigger): serving stays
+    score-identical (the 1e-9 segment-serving guarantee) and per-term df
+    residue from tombstoned docs is flushed."""
     base = high_water_doc_id(index_dir)
     seg = segment_dir(index_dir, epoch)
     cfg = load_manifest(index_dir).get("config", {})
@@ -102,6 +117,9 @@ def append_segment(spark: SparkSession, index_dir: str,
     manifest = build_index(spark, transcripts, seg, doc_id_base=base,
                            input_path=f"<stream epoch {epoch}>", **kwargs)
     bump_epoch(index_dir)
+    if (auto_compact_segments is not None
+            and len(list_segments(index_dir)) >= auto_compact_segments):
+        compact_in_place(spark, index_dir)
     return manifest
 
 
@@ -273,7 +291,6 @@ class GlobalSegmentedIndex(SearchIndex):
         part_dirs = [index_dir] + [segment_dir(index_dir, e)
                                    for e in list_segments(index_dir)]
         postings = docs = term_stats = None
-        n_docs, tok_total = 0, 0.0
         for p in part_dirs:
             m = load_manifest(p)
             pp = spark.read.parquet(os.path.join(p, "postings"))
@@ -283,9 +300,16 @@ class GlobalSegmentedIndex(SearchIndex):
             ts = spark.read.parquet(os.path.join(p, "term_stats"))
             term_stats = ts if term_stats is None \
                 else term_stats.unionByName(ts)
-            gs = spark.read.parquet(os.path.join(p, "global_stats")).collect()[0]
-            n_docs += int(gs["n_docs"])
-            tok_total += float(gs["avgdl"] or 0.0) * int(gs["n_docs"])
+        # ONE job for every part's corpus stats (a per-part collect loop
+        # ran #segments sequential driver jobs per epoch bump — linear
+        # view-construction latency in segment count)
+        gs = (spark.read.parquet(*[os.path.join(p, "global_stats")
+                                   for p in part_dirs])
+              .agg(F.sum("n_docs").alias("n"),
+                   F.sum(F.col("avgdl") * F.col("n_docs")).alias("toks"))
+              .collect()[0])
+        n_docs = int(gs["n"] or 0)
+        tok_total = float(gs["toks"] or 0.0)
 
         self._tomb = load_tombstones(spark, index_dir)
         if self._tomb is not None:
@@ -349,3 +373,34 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str,
     kwargs.update(build_kwargs)
     return build_index(spark, transcripts, out_dir,
                        input_path=f"<compaction of {index_dir}>", **kwargs)
+
+
+def compact_in_place(spark: SparkSession, index_dir: str,
+                     **build_kwargs) -> dict:
+    """Compact base+segments−tombstones and atomically swap the result
+    into ``index_dir``. The manifest epoch keeps rising across the swap
+    (epoch-keyed serving caches must never see an epoch value repeat —
+    a reset-to-zero epoch would let stale K1 pages collide with the
+    compacted index). On a shared cluster the swap would go through a
+    catalog pointer with old files retained until readers drain; in this
+    single-process layout the old directory is replaced directly and
+    in-flight readers are the caller's responsibility (Engine re-resolves
+    on the epoch bump)."""
+    import json
+    import shutil
+
+    old_epoch = index_epoch(index_dir)
+    tmp = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    manifest = compact(spark, index_dir, tmp, **build_kwargs)
+
+    manifest["epoch"] = old_epoch + 1
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    old = index_dir.rstrip("/") + ".pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_dir, old)
+    os.replace(tmp, index_dir)
+    shutil.rmtree(old)
+    return manifest
