@@ -129,14 +129,24 @@ def test_wholestage_codegen_on_scoring(spark, index):
     assert any("HashAggregate" in n for n in nodes), nodes
 
 
+def _warm_hot(index, q):
+    """Two touches: fill the raw decode (query #1 shape), then promote to
+    the co-partitioned cache (round-4 two-touch promotion) — the HOT
+    serving layout the zero-exchange assertions are about."""
+    from yetisearch_spark.query import parse_query
+    node = parse_query(q)
+    index.match_scores(node).collect()      # touch 1: raw fill
+    index._match_scores_build(node, None)   # touch 2: promotion
+    return node
+
+
 def test_or_query_single_shuffle_any_width(spark, index):
     """An OR-of-terms scoring plan must contain exactly one scoring
     exchange regardless of term count (scale: shuffles don't grow with
     query length)."""
-    from yetisearch_spark.query import parse_query
     with no_aqe(spark):
-        df = index.match_scores(parse_query("data OR process OR system OR run"))
-        nodes = nodes_above_cache(df)
+        node = _warm_hot(index, "data OR process OR system OR run")
+        nodes = nodes_above_cache(index._match_scores_build(node, None))
     # co-partitioned caches: the union keeps hashpartitioning(doc_id), so
     # the scoring aggregation needs NO exchange at all (round 2 had one)
     assert len(_shuffles(nodes)) == 0, nodes
@@ -147,10 +157,9 @@ def test_and_query_is_shuffle_free_join(spark, index):
     per-term match tables — ZERO per-query exchanges (no shuffle, no
     broadcast: the cache-fill repartition is the only exchange and it
     lives inside the cached relation)."""
-    from yetisearch_spark.query import parse_query
     with no_aqe(spark):
-        df = index.match_scores(parse_query("data process system run check"))
-        nodes = nodes_above_cache(df)
+        node = _warm_hot(index, "data process system run check")
+        nodes = nodes_above_cache(index._match_scores_build(node, None))
     assert len(_shuffles(nodes)) == 0, nodes
     # Catalyst may still COST-choose a broadcast for tiny cached frames;
     # what must never appear per-query is a shuffle exchange
@@ -160,9 +169,9 @@ def test_and_query_is_shuffle_free_join(spark, index):
 def test_flat_or_skips_qualification_column(spark, index):
     """A flat OR is trivially qualified — the plan must carry no
     collect_set/array_contains work through the shuffle."""
-    from yetisearch_spark.query import parse_query
     with no_aqe(spark):
-        df = index.match_scores(parse_query("data OR process OR system"))
+        node = _warm_hot(index, "data OR process OR system")
+        df = index._match_scores_build(node, None)
         nodes = nodes_above_cache(df)
         plan = _plan(df)
     assert "collect_set" not in plan, plan

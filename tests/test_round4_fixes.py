@@ -155,3 +155,57 @@ def test_verify_index_flags_missing_parts(spark, tmp_path):
     status = verify_index(spark, out)
     assert not status["ok"]
     assert status["error"] == "missing layout parts"
+
+
+def test_two_touch_decode_promotion(spark, two_indexes):
+    """Round-4 cold-path design: touch 1 serves a plain persisted decode
+    (no repartition exchange in query #1; plans NOT memoized), touch 2
+    swaps in the co-partitioned frame built from the raw rows and
+    memoizes, touch 3 reuses the memoized plan. Results identical at
+    every stage."""
+    from yetisearch_spark.query import SearchIndex
+
+    idx = SearchIndex(spark, two_indexes["b"])
+    q = "data AND process"
+
+    def page():
+        return [(r["doc_id"], round(r["score"], 9))
+                for r in idx.search(q, k=10).collect()]
+
+    r1 = page()
+    raw_keys = set(idx._decoded_raw)
+    assert any(k[1] in ("data", "process") for k in raw_keys), raw_keys
+    assert len(idx._plan_cache) == 0      # volatile plans never memoized
+
+    r2 = page()
+    assert r2 == r1
+    assert not any(k[1] in ("data", "process") for k in idx._decoded_raw)
+    assert any(k[1] in ("data", "process") for k in idx._decoded_cache)
+    assert len(idx._plan_cache) > 0       # promoted plans are keepers
+    assert len(idx._retired) > 0          # raw twins awaiting drain
+
+    df3 = idx.search(q, k=10)
+    df4 = idx.search(q, k=10)
+    assert df3 is df4                     # memoized plan object reuse
+    r3 = [(r["doc_id"], round(r["score"], 9)) for r in df3.collect()]
+    assert r3 == r1
+
+    from yetisearch_spark.query import parse_query
+    idx.match_scores(parse_query("data"))
+    assert idx._retired == []             # drained at the next plan build
+    idx.close()
+
+
+def test_warm_materializes_doc_store(spark, two_indexes):
+    from yetisearch_spark.query import SearchIndex
+
+    idx = SearchIndex(spark, two_indexes["a"])
+    out = idx.warm()
+    assert out["docs"] == 300
+    # storage-level check: the persisted docs relation is now materialized
+    assert idx._docs.storageLevel.useMemory
+    idx.close()
+
+    uncached = SearchIndex(spark, two_indexes["a"], cache_docs=False)
+    assert uncached.warm() == {"docs": 0}
+    uncached.close()

@@ -219,6 +219,19 @@ class Engine:
     def index(self, name: str) -> SearchIndex:
         return self.indexes[name]
 
+    def warm(self, index: str) -> dict:
+        """Replica bootstrap for one served index: resolve the live view,
+        materialize its pinned doc store + term dictionary
+        (SearchIndex.warm) and build the fuzzy corrector — the pieces
+        every query needs that are otherwise paid inside the first
+        query's latency. Query-specific caches (per-term decodes, match
+        tables) are NOT touched: those stay in the cold numbers."""
+        _, idx = self._live(index)
+        out = idx.warm()
+        if self.config["enable_fuzzy"]:
+            self.corrector(index)
+        return out
+
     def _live(self, index: str):
         """Epoch-checked index resolution (K2 write-path invalidation,
         reference: src/Storage/SqliteStorage.php:364-367,708-711).
@@ -508,7 +521,14 @@ class Engine:
         # (reference SqliteStorage multi-column mode, :993-1021); the R2
         # page-level rescore below applies on top, matching :1186-1233
         bm25_weights = q.boost_fields if len(idx.fields) > 1 else None
+        # two-touch decode promotion: when this build first-touches a term
+        # (raw, not yet co-partitioned frame), the page plan must not be
+        # memoized either — the next identical query rebuilds over the
+        # promoted frames and THAT plan is the keeper
+        idx._plan_volatile = False
         scores = idx.match_scores(node, weights=bm25_weights)
+        if getattr(idx, "_plan_volatile", False):
+            plan_key = None
         handles = getattr(scores, "_ys_handles", [])
         doc_cols = idx._docs.columns
 

@@ -458,10 +458,26 @@ class SearchIndex:
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from collections import OrderedDict
         self._decoded_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._decoded_raw: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._retired: list[DataFrame] = []
+        self._plan_volatile = False
         self._match_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._df_count_cache: dict[tuple, int] = {}
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._handle_groups: list[list[DataFrame]] = []
+
+    def warm(self) -> dict:
+        """Replica bootstrap: materialize the pinned doc store before
+        taking traffic (the reference opens and mmaps its SQLite file at
+        construction, too). Without this, the first query that joins
+        documents — typically the first fuzzy/boosted page — pays the
+        full doc-store cache fill inside its own latency. Also loads the
+        term dictionary (small-vocab fast path), so the first query's
+        planning runs zero stats jobs. Returns {"docs": n} (0 when the
+        doc store is not pinned)."""
+        n = self._docs.count() if self._docs_cached else 0
+        self.term_stats_for(["_warm_probe"])   # triggers the vocab load
+        return {"docs": int(n)}
 
     def close(self) -> None:
         """Unpersist every cached frame this index pinned."""
@@ -470,6 +486,12 @@ class SearchIndex:
         for df in self._decoded_cache.values():
             df.unpersist()
         self._decoded_cache.clear()
+        for df in self._decoded_raw.values():
+            df.unpersist()
+        self._decoded_raw.clear()
+        for df in self._retired:
+            df.unpersist()
+        self._retired.clear()
         for df in self._match_cache.values():
             df.unpersist()
         self._match_cache.clear()
@@ -502,7 +524,19 @@ class SearchIndex:
         schedules 32 no-op tasks per term, which dominated the fuzzy
         path's 30-variation cold fill. Head terms keep the full width,
         so head∧head joins stay co-partitioned; tiny frames are
-        auto-broadcast by size stats anyway."""
+        auto-broadcast by size stats anyway.
+
+        Two-touch promotion (round 4): the FIRST touch serves a plain
+        persisted decode — no repartition exchange sits in front of
+        query #1's action, which was the round-3 cold-latency regression
+        (one extra stage per new term with AQE off). The touch marks the
+        in-flight plan volatile so no memo layer caches a plan over the
+        transitional frame. The SECOND touch builds the co-partitioned
+        frame FROM the persisted raw rows (a shuffle of cached rows, not
+        a re-decode), retires the raw frame (unpersisted at the next
+        query's match_scores, by which time the promoting query's action
+        has materialized the swap), and hot serving proceeds on the
+        zero-exchange layout exactly as before."""
         if not self._cache_postings:
             return factory()
         hit = self._decoded_cache.get(key)
@@ -512,9 +546,18 @@ class SearchIndex:
         width = self._cache_partitions if (n_docs_hint is None
                                            or n_docs_hint >= self.COPART_MIN_DF) \
             else 1
-        df = (factory()
-              .repartition(width, "doc_id")
-              .persist())
+        raw = self._decoded_raw.get(key)
+        if raw is None:
+            df = factory().persist()
+            self._decoded_raw[key] = df
+            while len(self._decoded_raw) > self.DECODED_CACHE_MAX:
+                _, old = self._decoded_raw.popitem(last=False)
+                old.unpersist()
+            self._plan_volatile = True
+            return df
+        del self._decoded_raw[key]
+        df = raw.repartition(width, "doc_id").persist()
+        self._retired.append(raw)
         self._decoded_cache[key] = df
         while len(self._decoded_cache) > self.DECODED_CACHE_MAX:
             _, old = self._decoded_cache.popitem(last=False)
@@ -537,7 +580,17 @@ class SearchIndex:
         if hit is not None:
             self._plan_cache.move_to_end(key)
             return hit
+        # volatility: a plan built over a FIRST-TOUCH (raw, not yet
+        # co-partitioned) decode frame must not be memoized — the next
+        # call rebuilds over the promoted co-partitioned frame. The flag
+        # composes across nested _cached_plan levels (topk → match_scores).
+        outer = self._plan_volatile
+        self._plan_volatile = False
         df = builder()
+        volatile = self._plan_volatile
+        self._plan_volatile = outer or volatile
+        if volatile:
+            return df
         self._plan_cache[key] = df
         while len(self._plan_cache) > self.PLAN_CACHE_MAX:
             self._plan_cache.popitem(last=False)
@@ -994,6 +1047,19 @@ class SearchIndex:
 
         near_tables: dict = {}
         for nr in _unique_nears(node):
+            if any(phrase_df.get(p, 0) == 0 for p in nr.phrases):
+                # a member phrase can never match (OOV term / zero df) →
+                # the NEAR group can't either. Short-circuit to an empty
+                # frame instead of building (and persisting) the trim
+                # kernel — the dominant plan-construction cost of the
+                # combined fuzzy shape when a typo stays uncorrectable.
+                k = len(nr.phrases)
+                tft = "double" if wvec is not None else "int"
+                schema = ("doc_id long, doc_len int, "
+                          + ", ".join(f"tf_{i} {tft}" for i in range(k)))
+                near_tables[nr] = self.spark.createDataFrame(
+                    self.spark.sparkContext.emptyRDD(), schema)
+                continue
             key = ("nr", tuple(p.terms for p in nr.phrases), nr.distance, wvec)
             near_tables[nr] = materialize(
                 key, lambda nr=nr: self._near_table(nr, phrase_tables, wvec))
@@ -1073,6 +1139,12 @@ class SearchIndex:
         HANDLE_GROUPS_MAX registry)."""
         if node is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        # retired raw frames (replaced by promoted co-partitioned twins
+        # during an EARLIER query's plan build) are safe to drop now: that
+        # query's action has run and materialized the swap
+        for old in self._retired:
+            old.unpersist()
+        self._retired.clear()
         wvec = self._normalize_weights(weights)
         return self._cached_plan(
             ("ms", node, wvec),

@@ -335,6 +335,9 @@ class GlobalSegmentedIndex(SearchIndex):
         self._cache_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self._decoded_cache = OrderedDict()
+        self._decoded_raw = OrderedDict()
+        self._retired = []
+        self._plan_volatile = False
         self._match_cache = OrderedDict()
         self._df_count_cache = {}
         self._plan_cache = OrderedDict()
