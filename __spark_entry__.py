@@ -512,6 +512,20 @@ def q_engine_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_near3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-phrase NEAR top-10 through the batch-vectorized trim kernel
+    (round 4, query.SearchIndex._near_table k>=3 path). The oracle
+    recomputes the FTS5 multi-phrase near-group trim — valid end-set
+    (every member within [m, m+D+1]) and per-member instance survival
+    (a valid end in [x-D-1, x]) — plus slot-order BM25 from the
+    materialized analyzer token table (reference NEAR semantics:
+    src/Search/SearchEngine.php:574-581 ride on FTS5's near-group)."""
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "near3")
+    df = idx.search('NEAR("dup" "join" "hash", 10)', k=10)
+    return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_engine_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field BM25 weights + R2 rescoring through the live engine over a
     two-field index. Materializes the per-field analyzer token table and
@@ -709,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_search": q_engine_search,
         "engine_fuzzy": q_engine_fuzzy,
         "engine_pruned_topk": q_engine_pruned_topk,
+        "near3_topk": q_near3_topk,
         "engine_boosted": q_engine_boosted,
         "engine_geo": q_engine_geo,
     }
@@ -1060,6 +1075,75 @@ def oracle_sql() -> dict[str, str]:
         # from those tokens, value-checking the whole downstream pipeline.
         "engine_search": _exact_and_sql("engs"),
         "engine_pruned_topk": _exact_and_sql("engp"),
+        "near3_topk": f"""
+            WITH tok AS (SELECT doc_id, pos, term
+                         FROM read_parquet('{MAT_DIR}/near3_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/near3_stats/*.parquet')),
+            p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'dup'),
+            p2 AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+            p3 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+            st AS (SELECT (SELECT count(DISTINCT doc_id) FROM p1) AS df1,
+                          (SELECT count(DISTINCT doc_id) FROM p2) AS df2,
+                          (SELECT count(DISTINCT doc_id) FROM p3) AS df3),
+            -- FTS5 near-group end-set: candidate ends = every member
+            -- instance; ok_j(m) iff member j has an instance in
+            -- [m, m + distance + 1] (len-1 phrases, distance 10)
+            ms AS (SELECT doc_id, pos FROM p1
+                   UNION SELECT doc_id, pos FROM p2
+                   UNION SELECT doc_id, pos FROM p3),
+            ok1 AS (SELECT DISTINCT m.doc_id, m.pos FROM ms m JOIN p1 a
+                      ON a.doc_id = m.doc_id
+                     AND a.pos BETWEEN m.pos AND m.pos + 11),
+            ok2 AS (SELECT DISTINCT m.doc_id, m.pos FROM ms m JOIN p2 a
+                      ON a.doc_id = m.doc_id
+                     AND a.pos BETWEEN m.pos AND m.pos + 11),
+            ok3 AS (SELECT DISTINCT m.doc_id, m.pos FROM ms m JOIN p3 a
+                      ON a.doc_id = m.doc_id
+                     AND a.pos BETWEEN m.pos AND m.pos + 11),
+            v1 AS (SELECT doc_id, pos FROM ok2
+                   INTERSECT SELECT doc_id, pos FROM ok3),
+            v2 AS (SELECT doc_id, pos FROM ok1
+                   INTERSECT SELECT doc_id, pos FROM ok3),
+            v3 AS (SELECT doc_id, pos FROM ok1
+                   INTERSECT SELECT doc_id, pos FROM ok2),
+            -- instance x of member i survives iff a valid end (all
+            -- OTHER members ok) lies in [x - distance - 1, x]
+            n1 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT a.doc_id, a.pos FROM p1 a JOIN v1 v
+                       ON v.doc_id = a.doc_id
+                      AND v.pos BETWEEN a.pos - 11 AND a.pos)
+                   GROUP BY doc_id),
+            n2 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT a.doc_id, a.pos FROM p2 a JOIN v2 v
+                       ON v.doc_id = a.doc_id
+                      AND v.pos BETWEEN a.pos - 11 AND a.pos)
+                   GROUP BY doc_id),
+            n3 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT a.doc_id, a.pos FROM p3 a JOIN v3 v
+                       ON v.doc_id = a.doc_id
+                      AND v.pos BETWEEN a.pos - 11 AND a.pos)
+                   GROUP BY doc_id),
+            matched AS (SELECT DISTINCT doc_id FROM (
+                          SELECT doc_id, pos FROM v1
+                          INTERSECT SELECT doc_id, pos FROM ok1)),
+            per AS (SELECT m.doc_id, dl.dl,
+                           n1.tf AS tf1, n2.tf AS tf2, n3.tf AS tf3
+                    FROM matched m JOIN dl USING(doc_id)
+                    JOIN n1 USING(doc_id) JOIN n2 USING(doc_id)
+                    JOIN n3 USING(doc_id)),
+            -- slot-order accumulation over the trimmed member tfs
+            raw AS (SELECT doc_id, ((c1 + c2) + c3) AS s FROM
+                    (SELECT dl.doc_id,
+                        {_contrib_sql(_idf_sql('st.df1'), 'dl.tf1')} AS c1,
+                        {_contrib_sql(_idf_sql('st.df2'), 'dl.tf2')} AS c2,
+                        {_contrib_sql(_idf_sql('st.df3'), 'dl.tf3')} AS c3
+                      FROM per dl CROSS JOIN g CROSS JOIN st))
+            SELECT doc_id, round(s, 4) AS score FROM raw
+            ORDER BY s DESC, doc_id LIMIT 10
+        """,
+
         "engine_boosted": f"""
             WITH tok AS (SELECT doc_id, field_id, term
                          FROM read_parquet('{MAT_DIR}/engb_tokens/*.parquet')),
