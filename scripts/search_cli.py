@@ -34,8 +34,9 @@ def main() -> None:
     spark = (SparkSession.builder.appName("yetisearch-query").getOrCreate())
     from yetisearch_spark.query import SearchIndex
 
-    idx = SearchIndex(spark, args.index)
-
+    # verify/explain run BEFORE constructing a caching SearchIndex: a
+    # broken index must reach verify_index (which reports ok:false
+    # instead of crashing), and neither mode uses the serving caches
     if args.mode == "verify":
         # reference index:verify analog (bin/yetisearch:112-129)
         from yetisearch_spark.debug import verify_index
@@ -51,6 +52,9 @@ def main() -> None:
                          indent=2))
         spark.stop()
         return
+
+    idx = SearchIndex(spark, args.index)
+
     if args.mode == "count":
         print(json.dumps({"count": idx.count(args.query)}))
     elif args.mode == "suggest":

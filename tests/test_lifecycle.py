@@ -169,3 +169,96 @@ def test_pruned_topk_over_segmented_view(spark, tmp_path):
         for (_, sa), (_, sb) in zip(a, b):
             assert sa == pytest.approx(sb, rel=1e-9)
     live.close()
+
+
+def test_engine_serves_across_auto_compaction(spark, tmp_path):
+    """Round-4 review finding: after an in-place compaction the engine's
+    serving view must be a FRESH SearchIndex over the new files — the
+    pre-compaction base describes deleted parquet and stale corpus
+    stats. Query results and stats must stay correct through the swap
+    with no manual intervention."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    pdf = generate_transcripts(700, seed=66)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    out = str(tmp_path / "eng_autocompact")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:400]), out,
+                num_buckets=8)
+    eng = Engine(spark, {"m": out})
+    before = eng.search("m", SearchQuery(query="data", limit=5))
+    assert before["total"] > 0
+    for i in range(3):
+        chunk = pdf.iloc[400 + i * 100: 500 + i * 100]
+        append_segment(spark, out, spark.createDataFrame(chunk), epoch=i,
+                       auto_compact_segments=3)
+    assert list_segments(out) == []       # compaction fired
+    after = eng.search("m", SearchQuery(query="data", limit=5))
+    assert eng.get_stats("m")["document_count"] == 700
+    # twin built in one shot must agree on the page
+    twin_dir = str(tmp_path / "eng_twin")
+    build_index(spark, spark.createDataFrame(pdf), twin_dir, num_buckets=8)
+    twin = Engine(spark, {"t": twin_dir})
+    want = twin.search("t", SearchQuery(query="data", limit=5))
+    got_keys = [(r["document"]["conv_id"], r["document"]["turn_idx"],
+                 r["score"]) for r in after["results"]]
+    want_keys = [(r["document"]["conv_id"], r["document"]["turn_idx"],
+                  r["score"]) for r in want["results"]]
+    assert got_keys == want_keys
+    assert after["total"] == want["total"]
+
+
+def test_interrupted_compaction_swap_recovers(spark, tmp_path):
+    """A kill between the two swap renames leaves the index parked at
+    <dir>.pre_compact — the next open must restore it (compaction is
+    idempotent, so serving the pre-compaction state is correct)."""
+    import os
+
+    pdf = generate_transcripts(300, seed=67)
+    out = str(tmp_path / "crash_idx")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    # simulate the crash window: index_dir renamed away, swap-in never ran
+    os.replace(out, out + ".pre_compact")
+    assert not os.path.isdir(out)
+    idx = SearchIndex(spark, out)     # load_manifest restores the park
+    assert idx.n_docs == 300
+    assert idx.search("data", k=3).count() >= 0
+    idx.close()
+
+
+def test_verify_index_reports_corrupt_manifest(spark, tmp_path):
+    """index:verify must report ok:false on a truncated manifest, not
+    crash (round-4 review finding)."""
+    import json
+    import os
+
+    from yetisearch_spark.debug import verify_index
+
+    pdf = generate_transcripts(100, seed=68)
+    out = str(tmp_path / "corrupt_idx")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=4)
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    del m["stages"]["docs"]           # interrupted-build shape
+    json.dump(m, open(os.path.join(out, "manifest.json"), "w"))
+    status = verify_index(spark, out)
+    assert status["ok"] is False
+    assert "manifest" in status["error"]
+
+
+def test_compaction_preserves_build_config(spark, tmp_path):
+    """A custom block_size must survive its own compaction (WAND block
+    geometry) — compact() forwards the full build config."""
+    from yetisearch_spark.build import load_manifest
+
+    pdf = generate_transcripts(400, seed=69)
+    out = str(tmp_path / "cfg_idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:300]), out,
+                num_buckets=8, block_size=32, num_salts=4)
+    for i in range(2):
+        append_segment(spark, out,
+                       spark.createDataFrame(pdf.iloc[300 + i * 50:
+                                                      350 + i * 50]),
+                       epoch=i, auto_compact_segments=2)
+    assert list_segments(out) == []
+    cfg = load_manifest(out).get("config", {})
+    assert int(cfg.get("block_size")) == 32
+    assert int(cfg.get("num_salts")) == 4

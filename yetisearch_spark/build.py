@@ -72,6 +72,17 @@ def load_manifest(out_dir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
+    # crash recovery for an interrupted in-place compaction: the swap is
+    # two directory renames (see streaming.compact_in_place) and a kill
+    # between them leaves the index parked at <dir>.pre_compact with
+    # nothing at <dir>. Restore the pre-compaction index — compaction is
+    # idempotent (a pure rewrite of base+segments−tombstones), so the
+    # old state is fully valid and the next trigger redoes the work.
+    parked = out_dir.rstrip("/") + ".pre_compact"
+    if not os.path.isdir(out_dir) and os.path.exists(_manifest_path(parked)):
+        os.replace(parked, out_dir)
+        with open(p) as f:
+            return json.load(f)
     return {"stages": {}, "lineage": {}, "config": {}}
 
 

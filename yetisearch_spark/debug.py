@@ -38,14 +38,28 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
         status["error"] = "missing layout parts"
         return status
 
-    manifest_docs = int(manifest["stages"]["docs"]["counters"]["docs"])
-    gs = spark.read.parquet(
-        os.path.join(index_dir, "global_stats")).collect()[0]
-    docs_rows = spark.read.parquet(os.path.join(index_dir, "docs")).count()
-    term_rows = spark.read.parquet(
-        os.path.join(index_dir, "term_stats")).count()
-    posting_blocks = spark.read.parquet(
-        os.path.join(index_dir, "postings")).count()
+    # everything below reads data a corrupt index may not have — the
+    # verifier's contract is to REPORT (ok:false + error), never crash
+    # on exactly the inputs it exists to diagnose
+    try:
+        manifest_docs = int(manifest["stages"]["docs"]["counters"]["docs"])
+    except (KeyError, TypeError, ValueError) as e:
+        status["error"] = f"manifest stages/counters: {e!r}"
+        return status
+    try:
+        gs = spark.read.parquet(
+            os.path.join(index_dir, "global_stats")).collect()[0]
+        docs_rows = spark.read.parquet(
+            os.path.join(index_dir, "docs")).count()
+        term_rows = spark.read.parquet(
+            os.path.join(index_dir, "term_stats")).count()
+        posting_blocks = spark.read.parquet(
+            os.path.join(index_dir, "postings")).count()
+        tomb = load_tombstones(spark, index_dir)
+        n_tomb = int(tomb.count()) if tomb is not None else 0
+    except Exception as e:           # corrupt/unreadable parquet parts
+        status["error"] = f"data read: {e}"
+        return status
     status.update({
         "docs": docs_rows,
         "manifest_docs": manifest_docs,
@@ -54,9 +68,8 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
         "terms": term_rows,
         "posting_blocks": posting_blocks,
         "segments": list_segments(index_dir),
+        "tombstones": n_tomb,
     })
-    tomb = load_tombstones(spark, index_dir)
-    status["tombstones"] = int(tomb.count()) if tomb is not None else 0
     status["ok"] = (docs_rows == manifest_docs == int(gs["n_docs"])
                     and term_rows > 0 and posting_blocks > 0
                     and (docs_rows == 0 or status["avgdl"] > 0))

@@ -263,6 +263,16 @@ class Engine:
                 # while segments exist — drop them (close() leaves the
                 # SearchIndex usable; caches refill on demand if touched)
                 base.close()
+        elif epoch > int(base.manifest.get("epoch", 0)):
+            # epoch moved but segments/tombstones drained to zero → the
+            # index was COMPACTED IN PLACE (auto-compaction or manual):
+            # the files under index_dir are new, and `base`'s relations,
+            # corpus stats and manifest all describe the deleted
+            # pre-compaction files. Serve a fresh SearchIndex and retire
+            # the stale one (it stays in self.indexes as the path handle
+            # only; every query resolves through this cache).
+            base.close()
+            live = SearchIndex(self.spark, d)
         else:
             live = base
         self._live_cache[index] = (epoch, live)

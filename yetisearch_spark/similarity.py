@@ -160,12 +160,7 @@ def _pair_cosine() -> Column:
     below — one JVM fold, no Python."""
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    # a zero-norm vector has no direction: 0/0 = NaN, and NaN compares
-    # GREATER than any number in Spark SQL, so an unguarded divide would
-    # make an all-zero embedding a "near-dup" of every row. Define its
-    # similarity as -1 (never passes a threshold).
-    denom = F.col("na") * F.col("nb")
-    return F.when(denom > 0, dot / denom).otherwise(F.lit(-1.0))
+    return _safe_cos(dot, F.col("na") * F.col("nb"))
 
 
 def _pair_sides(df: DataFrame, vec_col: str, id_col: str):

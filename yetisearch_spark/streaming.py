@@ -214,15 +214,28 @@ class SegmentedIndex:
     """Query view over base + segments (union of docs/postings, term
     stats merged on the fly). For serving-grade latency, compact."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_postings: bool = False, cache_docs: bool = False):
         from .query import SearchIndex
 
+        # caches default OFF: this view backs one-shot maintenance scans
+        # (upsert victim lookup, compaction input) — persisting every
+        # part's doc store here would leak a full corpus copy into
+        # executor storage per compaction cycle (Spark's CacheManager
+        # holds cached data even after the Python objects are collected).
+        # GlobalSegmentedIndex is the serving view and manages its own
+        # pinning.
         self.spark = spark
         self.index_dir = index_dir
         parts = [index_dir] + [segment_dir(index_dir, e)
                                for e in list_segments(index_dir)]
-        self._indexes = [SearchIndex(spark, p) for p in parts]
+        self._indexes = [SearchIndex(spark, p, cache_postings=cache_postings,
+                                     cache_docs=cache_docs) for p in parts]
         self._tomb = load_tombstones(spark, index_dir)
+
+    def close(self) -> None:
+        for ix in self._indexes:
+            ix.close()
 
     @property
     def n_docs(self) -> int:
@@ -357,25 +370,38 @@ class GlobalSegmentedIndex(SearchIndex):
 def compact(spark: SparkSession, index_dir: str, out_dir: str,
             **build_kwargs) -> dict:
     """S9 'optimize': rebuild ONE index from base+segments minus
-    tombstones. Returns the new manifest. Inherits the base index's
-    analyzer language and field list (a multi-field index compacts
-    multi-field)."""
+    tombstones. Returns the new manifest. Inherits the base index's FULL
+    build config (fields, language, block_size, salting — a custom
+    block_size must survive its own compaction or the WAND block
+    geometry silently changes).
+
+    doc_ids are REASSIGNED (dense, in (conv_id, turn_idx) order) — ids
+    held across a compaction are invalid; resolve deletes/lookups
+    against the live view at call time (the engine and
+    upsert/delete_by_conv_prefix do)."""
     seg = SegmentedIndex(spark, index_dir)
-    docs = seg.docs()
-    cfg = load_manifest(index_dir).get("config", {})
-    fields = cfg.get("fields", ["text"])
-    # keep every original column except build artifacts
-    drop = {"doc_id", "tokens", "doc_len", "field_lens", "_pid", "_ord"}
-    present = [c for c in docs.columns if c not in drop]
-    # fields and identity must survive; anything else rides along
-    assert all(f in present for f in fields), (fields, present)
-    transcripts = docs.select(*present)
-    kwargs = {"num_buckets": cfg.get("num_buckets", 32),
-              "language": cfg.get("language", "english"),
-              "fields": fields}
-    kwargs.update(build_kwargs)
-    return build_index(spark, transcripts, out_dir,
-                       input_path=f"<compaction of {index_dir}>", **kwargs)
+    try:
+        docs = seg.docs()
+        cfg = load_manifest(index_dir).get("config", {})
+        fields = cfg.get("fields", ["text"])
+        # keep every original column except build artifacts
+        drop = {"doc_id", "tokens", "doc_len", "field_lens", "_pid", "_ord"}
+        present = [c for c in docs.columns if c not in drop]
+        # fields and identity must survive; anything else rides along
+        assert all(f in present for f in fields), (fields, present)
+        transcripts = docs.select(*present)
+        kwargs = {"num_buckets": cfg.get("num_buckets", 32),
+                  "block_size": cfg.get("block_size", 128),
+                  "salt_threshold": cfg.get("salt_threshold", 100_000),
+                  "num_salts": cfg.get("num_salts", 16),
+                  "language": cfg.get("language", "english"),
+                  "fields": fields}
+        kwargs.update(build_kwargs)
+        return build_index(spark, transcripts, out_dir,
+                           input_path=f"<compaction of {index_dir}>",
+                           **kwargs)
+    finally:
+        seg.close()
 
 
 def compact_in_place(spark: SparkSession, index_dir: str,
