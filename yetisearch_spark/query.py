@@ -27,14 +27,15 @@ Serving-path shape (round 2 — one shuffle, one planning job, hot cache):
   * decoded postings are cached PER TERM (persisted DataFrames, LRU) —
     repeated query terms skip the scan+decode entirely.
   * all scoring slots are unioned as (doc_id, slot, contribution) rows
-    and reduced in ONE hash aggregation; FTS5's in-expression-order
-    float accumulation is preserved by folding
-    array_sort(collect_list(struct(slot, c))) with an ordered
-    aggregate() (adding 0.0 for absent slots cannot change an IEEE sum
-    of non-negative contributions, so matched-slot-only order-summing
-    is float-identical to FTS5's all-slots loop).
+    and reduced in ONE plain hash aggregation of per-slot conditional
+    sums — each slot sources at most one row per doc, so
+    sum(when(slot=i, c)) is exactly that row's contribution and the
+    explicit slot-order fold over coalesce(sᵢ, 0.0) preserves FTS5's
+    in-expression-order float accumulation (adding 0.0 for absent slots
+    cannot change an IEEE sum of non-negative contributions).
   * boolean qualification (AND/OR/NOT/NEAR trees) is a predicate over
-    collect_set(slot) — no per-child join chain.
+    per-slot presence (sᵢ IS NOT NULL) — no per-child join chain, no
+    object aggregation anywhere in scoring.
   * every multi-token phrase/prefix df is counted in ONE batched job
     (union of tagged match tables → groupBy(tag).count()).
 """
@@ -1230,11 +1231,14 @@ class SearchIndex:
             out._ys_handles = handles  # type: ignore[attr-defined]
             return out
 
-        # (Measured dead end, kept as a note: a disjoint subset
-        # decomposition makes OR shuffle-free too — A∪B = (A∖B) ∪ (B∖A) ∪
-        # (A∩B) with broadcast inner/anti joins — but the 2^k−1 branches
-        # re-scan every term table and it measured 5–7× SLOWER than the
-        # single-shuffle aggregation at k=3. OR stays on the aggregation.)
+        # (Two measured dead ends for shuffle-free OR, kept as notes: a
+        # disjoint-subset decomposition — A∪B = (A∖B)∪(B∖A)∪(A∩B) with
+        # broadcast joins — re-scans every table across 2^k−1 branches,
+        # 5–7× slower at k=3; a full-outer join chain loses the
+        # co-partitioning after the first join (the outer join coalesces
+        # the key into a NEW expression) and re-shuffles every later
+        # stage. OR stays on the single aggregation — made cheap below by
+        # per-slot conditional sums instead of an object fold.)
 
         contribs = None
         for i, slot in enumerate(slots):
@@ -1251,24 +1255,34 @@ class SearchIndex:
                     self._contrib_expr(f"tf_{member}", idf).alias("c"))
             contribs = branch if contribs is None else contribs.unionByName(branch)
 
-        ordered_sum = F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
-            F.lit(0.0), lambda acc, x: acc + x["c"])
+        # per-slot conditional sums: every slot sources at most ONE row
+        # per doc (each slot is one match table), so sum(when(slot=i, c))
+        # is exactly that row's contribution — no ordering sensitivity —
+        # and the explicit slot-order fold over coalesce(sᵢ, 0.0) is
+        # float-identical to FTS5's expression-order accumulation (x+0.0
+        # == x in IEEE for these non-negative terms). This keeps the
+        # zero-exchange single aggregation but as a plain HashAggregate:
+        # the previous array_sort(collect_list(struct))+fold
+        # ObjectHashAggregate measured ~4× slower hot at k=3 (round 4).
+        # Slot presence (sᵢ IS NOT NULL) doubles as the qualification
+        # input, replacing the collect_set slot-set.
+        sums = [F.sum(F.when(F.col("slot") == i, F.col("c"))).alias(f"_s{i}")
+                for i in range(len(slots))]
+        agg = contribs.groupBy("doc_id").agg(*sums)
+        score = None
+        for i in range(len(slots)):  # slot order == FTS5 expression order
+            c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            score = c if score is None else score + c
         # a flat OR of single-table children is trivially qualified: every
-        # contribution row already implies a match, so the slot-set column
-        # and the filter are dead weight in the shuffle
+        # contribution row already implies a match
         trivially_qualified = isinstance(node, Or) and all(
             isinstance(c, (Phrase, PrefixNode, Near)) for c in node.children)
         if trivially_qualified:
-            out = (contribs.groupBy("doc_id")
-                   .agg(ordered_sum.alias("score"))
-                   .select("doc_id", "score"))
+            out = agg.select("doc_id", score.alias("score"))
         else:
-            scored = (contribs.groupBy("doc_id")
-                      .agg(ordered_sum.alias("score"),
-                           F.collect_set("slot").alias("_slots")))
-            out = (scored.where(_qual_expr(node, [0]))
-                   .select("doc_id", "score"))
+            present = _slot_present_factory()
+            out = (agg.where(_qual_expr(node, [0], present))
+                   .select("doc_id", score.alias("score")))
         out._ys_handles = handles  # type: ignore[attr-defined]
         return out
 
@@ -1319,17 +1333,26 @@ class SearchIndex:
                      else near_tables[slot[1]])
                 branch = t.select("doc_id", F.lit(i).alias("slot"))
                 contribs = branch if contribs is None else contribs.unionByName(branch)
-            return (contribs.groupBy("doc_id")
-                    .agg(F.collect_set("slot").alias("_slots"))
-                    .where(_qual_expr(node, [0]))
+            flags = [F.max(F.when(F.col("slot") == i, F.lit(True)))
+                     .alias(f"_s{i}") for i in range(len(slots))]
+            return (contribs.groupBy("doc_id").agg(*flags)
+                    .where(_qual_expr(node, [0], _slot_present_factory()))
                     .count())
         finally:
             self.release(handles)
 
 
-def _qual_expr(node, counter: list) -> Column:
-    """Boolean qualification over the aggregated ``_slots`` set — walks the
-    tree in the SAME order as _collect_slots so slot ids line up.
+def _slot_present_factory():
+    """Slot-presence predicate over the per-slot conditional-sum columns
+    (_sᵢ IS NOT NULL ⇔ slot i produced a contribution row) — replaces
+    the collect_set slot-set, keeping qualification inside plain
+    whole-stage-codegen expressions."""
+    return lambda i: F.col(f"_s{i}").isNotNull()
+
+
+def _qual_expr(node, counter: list, present) -> Column:
+    """Boolean qualification over per-slot presence — walks the tree in
+    the SAME order as _collect_slots so slot ids line up.
 
     One doc qualifies iff the boolean structure holds over which slots
     produced contribution rows (a NEAR's member slots all come from the
@@ -1337,26 +1360,26 @@ def _qual_expr(node, counter: list) -> Column:
     if isinstance(node, (Phrase, PrefixNode)):
         i = counter[0]
         counter[0] += 1
-        return F.array_contains(F.col("_slots"), i)
+        return present(i)
     if isinstance(node, Near):
         i = counter[0]
         counter[0] += len(node.phrases)
-        return F.array_contains(F.col("_slots"), i)
+        return present(i)
     if isinstance(node, And):
         out = None
         for c in node.children:
-            e = _qual_expr(c, counter)
+            e = _qual_expr(c, counter, present)
             out = e if out is None else (out & e)
         return out
     if isinstance(node, Or):
         out = None
         for c in node.children:
-            e = _qual_expr(c, counter)
+            e = _qual_expr(c, counter, present)
             out = e if out is None else (out | e)
         return out
     if isinstance(node, Not):
-        inc = _qual_expr(node.include, counter)
-        exc = _qual_expr(node.exclude, counter)
+        inc = _qual_expr(node.include, counter, present)
+        exc = _qual_expr(node.exclude, counter, present)
         return inc & ~exc
     raise ValueError(f"unknown node {node!r}")
 

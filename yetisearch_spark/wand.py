@@ -258,9 +258,12 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
             c = F.col(f"c{i}")
             score = c if score is None else score + c
         scored = joined.select("doc_id", score.alias("score"))
-    elif shape == "and":
-        # head-term AND above the broadcast cap: one aggregation shuffle
-        # with slot-set qualification
+    else:  # over-cap AND, or flat OR: ONE aggregation shuffle of
+        # per-slot conditional sums (each term contributes at most one
+        # row per doc, so sum(when) is exact and the slot-order fold
+        # over coalesce(sᵢ, 0.0) matches FTS5 accumulation — same plain
+        # HashAggregate shape as query.py's scoring, no object agg);
+        # AND additionally requires every slot present
         contribs = None
         for i, t in enumerate(terms):
             branch = (frames[t]
@@ -268,30 +271,20 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
                               index._contrib_expr("tf", idf[t]).alias("c")))
             contribs = branch if contribs is None \
                 else contribs.unionByName(branch)
-        ordered_sum = F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
-            F.lit(0.0), lambda acc, x: acc + x["c"])
-        scored = (contribs.groupBy("doc_id")
-                  .agg(ordered_sum.alias("score"),
-                       F.collect_set("slot").alias("_slots")))
-        qual = None
-        for i in range(len(terms)):
-            e = F.array_contains(F.col("_slots"), i)
-            qual = e if qual is None else (qual & e)
-        scored = scored.where(qual)
-    else:  # or
-        contribs = None
-        for i, t in enumerate(terms):
-            branch = (frames[t]
-                      .select("doc_id", F.lit(i).alias("slot"),
-                              index._contrib_expr("tf", idf[t]).alias("c")))
-            contribs = branch if contribs is None \
-                else contribs.unionByName(branch)
-        ordered_sum = F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("c")))),
-            F.lit(0.0), lambda acc, x: acc + x["c"])
-        scored = (contribs.groupBy("doc_id")
-                  .agg(ordered_sum.alias("score")))
+        sums = [F.sum(F.when(F.col("slot") == i, F.col("c"))).alias(f"_s{i}")
+                for i in range(len(terms))]
+        scored = contribs.groupBy("doc_id").agg(*sums)
+        score = None
+        for i in range(len(terms)):  # slot order
+            c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            score = c if score is None else score + c
+        if shape == "and":
+            qual = None
+            for i in range(len(terms)):
+                e = F.col(f"_s{i}").isNotNull()
+                qual = e if qual is None else (qual & e)
+            scored = scored.where(qual)
+        scored = scored.select("doc_id", score.alias("score"))
     # tombstoned views were routed to the exact path above (the score
     # bounds are deletion-unsafe), so phase-2 never sees hidden docs
     out = (scored.select("doc_id", "score")
