@@ -1,0 +1,117 @@
+"""Property-based rank identity: RANDOM boolean query trees vs SQLite
+FTS5. The fixture suites cover each operator shape individually; this
+sweeps arbitrary nests of AND/OR/NOT over terms, phrases, prefixes and
+NEAR groups — the qualification + slot-order-accumulation paths under
+composition (both grammars are FTS5's, so ONE serialized string drives
+both engines)."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from yetisearch_spark.analyzer import analyze, analyze_batch
+from yetisearch_spark.build import build_index
+from yetisearch_spark.corpus import generate_transcripts
+from yetisearch_spark.oracle import Fts5Oracle
+from yetisearch_spark.query import SearchIndex
+
+N_TURNS = 1200
+SCORE_TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = generate_transcripts(N_TURNS, seed=77)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pdf["expected_doc_id"] = range(len(pdf))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    o = Fts5Oracle()
+    o.add_documents(zip(corpus["expected_doc_id"],
+                        analyze_batch(corpus["text"].tolist())))
+    yield o
+    o.close()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("prop_idx"))
+    build_index(spark, spark.createDataFrame(
+        corpus.drop(columns=["expected_doc_id"])), out, num_buckets=8)
+    return SearchIndex(spark, out)
+
+
+def _fixed_point(term):
+    return analyze(term) == [term]
+
+
+@pytest.fixture(scope="module")
+def vocab_terms(oracle):
+    """Fixed-point stems across the df spectrum, plus stable prefixes
+    (prefixes whose analysis is the identity, so both engines see the
+    same string)."""
+    rows = sorted(oracle.vocab(), key=lambda r: -r[1])
+    terms = [t for t, df, cf in rows if _fixed_point(t)]
+    from yetisearch_spark.query import _analyze_prefix
+    prefixes = []
+    for t in terms:
+        if len(t) >= 4:
+            p = t[:3]
+            if _analyze_prefix(p) == p:
+                prefixes.append(p)
+    assert len(terms) >= 12 and len(prefixes) >= 4
+    return terms, sorted(set(prefixes))
+
+
+def _tree_strategy(terms, prefixes):
+    term_st = st.sampled_from(terms)
+
+    def quote(t):
+        return f'"{t}"'
+
+    atom = st.one_of(
+        term_st.map(quote),
+        st.sampled_from(prefixes).map(lambda p: f"{p}*"),
+        # 2-term phrase (may or may not occur — zero-match branches are
+        # exactly what the qualification logic must survive)
+        st.tuples(term_st, term_st).map(lambda ab: f'"{ab[0]} {ab[1]}"'),
+        st.tuples(term_st, term_st,
+                  st.integers(min_value=0, max_value=10)).map(
+            lambda abn: f'NEAR("{abn[0]}" "{abn[1]}", {abn[2]})'),
+        st.tuples(term_st, term_st, term_st,
+                  st.integers(min_value=1, max_value=10)).map(
+            lambda x: f'NEAR("{x[0]}" "{x[1]}" "{x[2]}", {x[3]})'),
+    )
+
+    def combine(children):
+        ops = st.sampled_from([" AND ", " OR ", " NOT "])
+
+        def join(args):
+            op, (a, b) = args
+            return f"({a}{op}{b})"
+
+        return st.tuples(ops, st.tuples(children, children)).map(join)
+
+    return st.recursive(atom, combine, max_leaves=5)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_random_trees_rank_identical(data, index, oracle, vocab_terms):
+    terms, prefixes = vocab_terms
+    q = data.draw(_tree_strategy(terms, prefixes))
+    got = [(r["doc_id"], r["score"]) for r in index.search(q, k=20).collect()]
+    want = oracle.top_k(q, k=20)
+    assert len(got) == len(want), (q, got, want)
+    for (gd, gs), (od, osc) in zip(got, want):
+        assert gd == od, (q, got, want)
+        assert math.isclose(gs, osc, rel_tol=SCORE_TOL, abs_tol=1e-12), \
+            (q, gd, gs, osc)
+    # count must agree with the oracle too (M8 under composition)
+    assert index.count(q) == oracle.count(q), q

@@ -1269,9 +1269,25 @@ class SearchIndex:
         sums = [F.sum(F.when(F.col("slot") == i, F.col("c"))).alias(f"_s{i}")
                 for i in range(len(slots))]
         agg = contribs.groupBy("doc_id").agg(*sums)
+        present = _slot_present_factory()
+        # FTS5 context gating (probed empirically, pinned by the
+        # property suite): a phrase slot contributes to bm25 ONLY on docs
+        # where every enclosing boolean subtree matches — in
+        # "say OR (say AND get)" a doc without `get` scores ONE say, not
+        # two (the second say's AND context fails); an exclude-side NOT
+        # phrase never contributes. OR ancestors are implied by their
+        # matching child and are skipped; flat trees get no gates, so the
+        # hot single/AND/OR shapes are untouched.
+        gates = _slot_gates(node, present)
         score = None
         for i in range(len(slots)):  # slot order == FTS5 expression order
             c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            g = gates.get(i) or []
+            if g:
+                cond = g[0]
+                for e in g[1:]:
+                    cond = cond & e
+                c = F.when(cond, c).otherwise(F.lit(0.0))
             score = c if score is None else score + c
         # a flat OR of single-table children is trivially qualified: every
         # contribution row already implies a match
@@ -1280,7 +1296,6 @@ class SearchIndex:
         if trivially_qualified:
             out = agg.select("doc_id", score.alias("score"))
         else:
-            present = _slot_present_factory()
             out = (agg.where(_qual_expr(node, [0], present))
                    .select("doc_id", score.alias("score")))
         out._ys_handles = handles  # type: ignore[attr-defined]
@@ -1340,6 +1355,40 @@ class SearchIndex:
                     .count())
         finally:
             self.release(handles)
+
+
+def _slot_gates(root, present) -> dict[int, list]:
+    """slot id → list of ancestor-subtree match expressions that must ALL
+    hold for the slot's contribution to count (FTS5 context gating — see
+    the probe-pinned rule at the call site). Or ancestors are skipped:
+    their match is implied by the matching descendant chain. Slot
+    numbering walks the tree in _collect_slots order."""
+    gates: dict[int, list] = {}
+
+    def walk(node, counter, anc):
+        if node is None:
+            return
+        if isinstance(node, (Phrase, PrefixNode)):
+            gates[counter[0]] = anc
+            counter[0] += 1
+        elif isinstance(node, Near):
+            for m in range(len(node.phrases)):
+                gates[counter[0] + m] = anc
+            counter[0] += len(node.phrases)
+        elif isinstance(node, Or):
+            for c in node.children:
+                walk(c, counter, anc)
+        elif isinstance(node, And):
+            me = _qual_expr(node, [counter[0]], present)
+            for c in node.children:
+                walk(c, counter, anc + [me])
+        elif isinstance(node, Not):
+            me = _qual_expr(node, [counter[0]], present)
+            walk(node.include, counter, anc + [me])
+            walk(node.exclude, counter, anc + [me])
+
+    walk(root, [0], [])
+    return gates
 
 
 def _slot_present_factory():
