@@ -115,3 +115,49 @@ def test_random_trees_rank_identical(data, index, oracle, vocab_terms):
             (q, gd, gs, osc)
     # count must agree with the oracle too (M8 under composition)
     assert index.count(q) == oracle.count(q), q
+
+
+@pytest.fixture(scope="module")
+def mf_oracle(corpus):
+    o = Fts5Oracle(columns=("title", "content"))
+    titles = analyze_batch(
+        corpus["text"].str.split().str[:4].str.join(" ").tolist())
+    texts = analyze_batch(corpus["text"].tolist())
+    o.add_documents(
+        (doc_id, [tt, tx]) for doc_id, tt, tx in
+        zip(corpus["expected_doc_id"], titles, texts))
+    yield o
+    o.close()
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("prop_mf_idx"))
+    pdf = corpus.drop(columns=["expected_doc_id"]).copy()
+    pdf["title"] = pdf["text"].str.split().str[:4].str.join(" ")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8,
+                fields=["title", "text"])
+    return SearchIndex(spark, out)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_random_trees_weighted_multifield(data, mf_index, mf_oracle,
+                                          vocab_terms):
+    """Random trees × non-uniform per-field bm25 weights: the weighted
+    tally (position>>FIELD_SHIFT → weight) must stay float-exact under
+    boolean composition and context gating too."""
+    terms, prefixes = vocab_terms
+    q = data.draw(_tree_strategy(terms, prefixes))
+    weights = data.draw(st.sampled_from(
+        [(2.0, 1.0), (0.5, 3.0), (5.0, 0.0)]))
+    got = [(r["doc_id"], r["score"]) for r in
+           mf_index.search(q, k=20, weights={"title": weights[0],
+                                             "text": weights[1]}).collect()]
+    want = mf_oracle.top_k(q, k=20, weights=list(weights))
+    assert len(got) == len(want), (q, weights, got, want)
+    for (gd, gs), (od, osc) in zip(got, want):
+        assert gd == od, (q, weights, got, want)
+        assert math.isclose(gs, osc, rel_tol=SCORE_TOL, abs_tol=1e-12), \
+            (q, weights, gd, gs, osc)
