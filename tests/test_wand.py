@@ -153,3 +153,25 @@ def test_cost_gate_routes_small_queries_to_exact(index):
     assert stats is not None and stats.get("gated") is True
     got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
     assert got == _exact(index, q)
+
+
+def test_duplicate_terms_route_to_exact_path(index):
+    """FTS5 scores a duplicated phrase slot TWICE ('t OR t' = 2×t); the
+    pruned shapes key per term and would halve it — duplicates must
+    serve the exact path and stay result-identical (round-4 property-
+    sweep follow-up)."""
+    terms, _dfs = _common_terms(index)
+    t = terms[0]
+    for q in (f'"{t}" OR "{t}"', f'"{t}" AND "{t}"'):
+        got = pruned_topk(index, q, k=10, gate_blocks=0)
+        stats = getattr(got, "_pruning_stats", None)
+        assert stats is not None and stats.get("reason") == "duplicate-terms"
+        a = [(r["doc_id"], round(r["score"], 9)) for r in got.collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in index.search(q, k=10).collect()]
+        assert a == b, q
+        # and the duplicate genuinely doubles the single-slot score
+        single = {r["doc_id"]: r["score"]
+                  for r in index.search(f'"{t}"', k=10).collect()}
+        for d, s in a:
+            assert s == pytest.approx(2 * single[d], rel=1e-9)

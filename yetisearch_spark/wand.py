@@ -114,6 +114,14 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
                               "reason": "tombstones"}
         return out
+    if len(set(terms)) != len(terms):
+        # duplicate phrase slots ("say OR say") score TWICE in FTS5 (and
+        # in the exact path); the pruned phase-2 shapes key per term and
+        # would halve them — route to the exact path
+        out = index.search(node, k=k).select("*")
+        out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
+                              "reason": "duplicate-terms"}
+        return out
     terms = list(dict.fromkeys(terms))
 
     stats = index.term_stats_for(terms)
