@@ -62,7 +62,9 @@ def vocab_terms(oracle):
     for t in terms:
         if len(t) >= 4:
             p = t[:3]
-            if _analyze_prefix(p) == p:
+            # alnum only: both grammars accept bareword `p*`, but FTS5
+            # errors on unquoted specials ('-', "'" are tokenchars here)
+            if p.isalnum() and _analyze_prefix(p) == p:
                 prefixes.append(p)
     assert len(terms) >= 12 and len(prefixes) >= 4
     return terms, sorted(set(prefixes))
@@ -161,3 +163,46 @@ def test_random_trees_weighted_multifield(data, mf_index, mf_oracle,
         assert gd == od, (q, weights, got, want)
         assert math.isclose(gs, osc, rel_tol=SCORE_TOL, abs_tol=1e-12), \
             (q, weights, gd, gs, osc)
+
+
+@pytest.fixture(scope="module")
+def seg_pair(spark, corpus, tmp_path_factory):
+    """The same corpus served two ways: base + 2 appended segments
+    (GlobalSegmentedIndex) vs one-shot build — exact global stats mean
+    they must score identically for ANY query."""
+    from yetisearch_spark.streaming import (GlobalSegmentedIndex,
+                                            append_segment)
+
+    root = tmp_path_factory.mktemp("prop_seg")
+    pdf = corpus.drop(columns=["expected_doc_id"])
+    seg_dir = str(root / "segmented")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:800]), seg_dir,
+                num_buckets=8)
+    for i in range(2):
+        chunk = pdf.iloc[800 + i * 200: 1000 + i * 200]
+        append_segment(spark, seg_dir, spark.createDataFrame(chunk),
+                       epoch=i, auto_compact_segments=None)
+    live = GlobalSegmentedIndex(spark, seg_dir)
+    yield live
+    live.close()
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_random_trees_segmented_serving(data, seg_pair, index, oracle,
+                                        vocab_terms):
+    """Random boolean trees over the segmented serving view must match
+    FTS5 over the whole corpus — the union relations' global stats under
+    arbitrary composition (doc_ids are identical: appends allocate above
+    the base high-water mark in the same (conv_id, turn_idx) order)."""
+    terms, prefixes = vocab_terms
+    q = data.draw(_tree_strategy(terms, prefixes))
+    got = [(r["doc_id"], r["score"])
+           for r in seg_pair.search(q, k=20).collect()]
+    want = oracle.top_k(q, k=20)
+    assert len(got) == len(want), (q, got, want)
+    for (gd, gs), (od, osc) in zip(got, want):
+        assert gd == od, (q, got, want)
+        assert math.isclose(gs, osc, rel_tol=SCORE_TOL, abs_tol=1e-12), \
+            (q, gd, gs, osc)
