@@ -262,3 +262,49 @@ def test_compaction_preserves_build_config(spark, tmp_path):
     cfg = load_manifest(out).get("config", {})
     assert int(cfg.get("block_size")) == 32
     assert int(cfg.get("num_salts")) == 4
+
+
+def test_fresh_reader_after_compaction_with_live_old_view(spark, tmp_path):
+    """Round-4 property-sweep find (pinned): compact_in_place swaps the
+    directory BEHIND Spark's back, so the session still holds file
+    listings and persisted relations for the old files under the same
+    path — a fresh SearchIndex's scan could canonically match a stale
+    cached plan and serve pre-compaction postings without touching disk
+    (internally inconsistent results: prefix matches pointing at the
+    wrong docs). compact_in_place must refreshByPath; this drives the
+    exact failing flow: live queried view kept open across the swap."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    from yetisearch_spark.streaming import (compact_in_place,
+                                            delete_by_conv_prefix)
+
+    pdf = generate_transcripts(700, seed=55)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    base = pdf.iloc[:350]
+    out = str(tmp_path / "stale_idx")
+    build_index(spark, spark.createDataFrame(base), out, num_buckets=8)
+    eng = Engine(spark, {"m": out})
+    for conv in ("conv_00000003", "conv_00000016"):
+        delete_by_conv_prefix(spark, out, conv)
+    # query through the live (tombstoned) view so its relations are
+    # persisted over the CURRENT files — then compact underneath it
+    for q in ["data", "comput*", "error OR fail"]:
+        eng.search("m", SearchQuery(query=q, limit=500))
+    compact_in_place(spark, out)
+
+    cidx = SearchIndex(spark, out)
+    state_keys_with = {
+        (r["conv_id"], int(r["turn_idx"]))
+        for _, r in base.iterrows()
+        if r["conv_id"] not in ("conv_00000003", "conv_00000016")}
+    for q in ["data", "comput*", "error OR fail"]:
+        got = {(r["conv_id"], r["turn_idx"]) for r in
+               cidx.search(q, k=500, with_docs=True).collect()}
+        assert got <= state_keys_with, q
+        # internal consistency: the match set equals the docs whose
+        # tokens actually contain a matching term
+        if q == "comput*":
+            truth = {(r["conv_id"], r["turn_idx"]) for r in
+                     cidx._docs.where(
+                         F.array_contains("tokens", "comput")).collect()}
+            assert got == truth
+    cidx.close()

@@ -432,4 +432,10 @@ def compact_in_place(spark: SparkSession, index_dir: str,
     os.replace(index_dir, old)
     os.replace(tmp, index_dir)
     shutil.rmtree(old)
+    # the swap bypassed Spark's write path, so the session still holds
+    # file listings AND cached (persisted) relations for the old files
+    # under this same path — a new reader's scan could canonically match
+    # a stale cached plan and be served pre-compaction data without ever
+    # touching disk. refreshByPath drops both for the subtree.
+    spark.catalog.refreshByPath(index_dir)
     return manifest
