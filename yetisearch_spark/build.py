@@ -80,7 +80,13 @@ def load_manifest(out_dir: str) -> dict:
     # old state is fully valid and the next trigger redoes the work.
     parked = out_dir.rstrip("/") + ".pre_compact"
     if not os.path.isdir(out_dir) and os.path.exists(_manifest_path(parked)):
-        os.replace(parked, out_dir)
+        try:
+            os.replace(parked, out_dir)
+        except FileNotFoundError:
+            # a concurrent reader won the recovery rename (or a live
+            # compaction finished its swap between our existence check
+            # and the rename) — the index dir is valid either way
+            pass
         with open(p) as f:
             return json.load(f)
     return {"stages": {}, "lineage": {}, "config": {}}

@@ -70,9 +70,13 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
         "segments": list_segments(index_dir),
         "tombstones": n_tomb,
     })
+    # non-degeneracy (terms/blocks/avgdl present) only applies to a
+    # non-empty index — a legitimately empty index (0 docs) is ok, not
+    # corrupt
     status["ok"] = (docs_rows == manifest_docs == int(gs["n_docs"])
-                    and term_rows > 0 and posting_blocks > 0
-                    and (docs_rows == 0 or status["avgdl"] > 0))
+                    and (docs_rows == 0
+                         or (term_rows > 0 and posting_blocks > 0
+                             and status["avgdl"] > 0)))
     return status
 
 

@@ -59,31 +59,83 @@ def _minhash_params(num_hashes: int, seed: int = 7):
     return a, b
 
 
+def _hash_shingle_rows(mat: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hash of fixed-width uint32 rows (FNV-1a over the
+    row elements in uint64 wraparound + a murmur-style finalizer) —
+    deterministic and process-stable, like the blake2b it replaced, but
+    computed for the whole batch in ~k vector ops instead of one digest
+    call per shingle (the 100-TB dedup cost center, round-4 verdict)."""
+    h = np.full(mat.shape[0], 14695981039346656037, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for j in range(mat.shape[1]):
+        h = (h ^ mat[:, j].astype(np.uint64)) * prime
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _flat_window_rows(lens: np.ndarray, width: int):
+    """Boundary-safe sliding-window bookkeeping over a concatenation of
+    per-doc sequences: given per-doc lengths (each ≥ width), return
+    (row_indices into sliding_window_view(cat, width), per-doc window
+    counts S, per-doc offsets into the row list). Windows never cross a
+    doc boundary. Shared by the minhash and fingerprint batch kernels."""
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    S = lens - (width - 1)
+    offs = np.concatenate(([0], np.cumsum(S)))[:-1]
+    within = np.arange(int(S.sum()), dtype=np.int64) - np.repeat(offs, S)
+    rows = np.repeat(starts, S) + within
+    return rows, S, offs
+
+
 def make_minhash_udf(num_hashes: int = 128, shingle: int = 5, seed: int = 7):
     """text → array<long> of minhash signature over character shingles.
-    Arrow-batched; inner loops vectorized over (shingles × hashes) tiles."""
+
+    Fully batch-vectorized: every doc's shingles in the Arrow batch are
+    flattened into ONE uint32 code-point array, hashed in one numpy pass
+    (no per-shingle digest calls), and the per-doc minima come from
+    minimum.reduceat over doc boundaries — tiled so the
+    (shingles × num_hashes) temporary stays bounded. Duplicate shingles
+    need no dedup (the min over duplicated values equals the min over the
+    distinct set)."""
     from pyspark.sql.functions import pandas_udf  # noqa: local import for Spark
 
     a, b = _minhash_params(num_hashes, seed)
-
-    def signature(text: str) -> list[int]:
-        t = " ".join((text or "").lower().split())
-        if len(t) < shingle:
-            t = t + " " * (shingle - len(t))
-        views = [t[i:i + shingle] for i in range(len(t) - shingle + 1)]
-        # stable across processes (python hash() is PYTHONHASHSEED-salted)
-        hashes = np.array([_stable_hash64(s) for s in set(views)],
-                          dtype=np.uint64)
-        if hashes.size == 0:
-            return [0] * num_hashes
-        # (H,) x (K,) → min over shingles per hash function
-        vals = (hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-        return vals.min(axis=0).astype(np.int64).tolist()
+    a = a | np.uint64(1)  # odd multiplier → h·a is a uint64 bijection
 
     import pandas as pd  # noqa
 
     def _batch(texts):
-        return pd.Series([signature(t) for t in texts])
+        norm = []
+        for t in texts:
+            s = " ".join((t or "").lower().split())
+            if len(s) < shingle:
+                s = s + " " * (shingle - len(s))
+            norm.append(s)
+        n = len(norm)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(s) for s in norm), dtype=np.int64, count=n)
+        # utf-32-le → exactly one uint32 element per character (no BOM)
+        cat = np.frombuffer("".join(norm).encode("utf-32-le"), dtype=np.uint32)
+        rows, S, offs = _flat_window_rows(lens, shingle)
+        sw = np.lib.stride_tricks.sliding_window_view(cat, shingle)
+        hs = _hash_shingle_rows(sw[rows])
+        # per-hash-function CONTIGUOUS passes: (h·a_j + b_j) mod 2^64 is a
+        # bijection of uint64 for odd a_j — an independent pseudo-random
+        # permutation of the (well-mixed) shingle hash per function, which
+        # is exactly the min-wise estimator. One multiply+add per cell and
+        # a contiguous reduceat beat both the old per-shingle digest loop
+        # and a (shingles × num_hashes) 2-D layout (strided reduceat +
+        # 5 ops/cell measured ~4× slower than this shape).
+        out = np.empty((n, num_hashes), dtype=np.uint64)
+        for j in range(num_hashes):
+            out[:, j] = np.minimum.reduceat(hs * a[j] + b[j], offs)
+        signed = (out >> np.uint64(1)).astype(np.int64)  # int64-positive
+        return pd.Series([r.tolist() for r in signed])
 
     _batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(ArrayType(LongType()))(_batch)
@@ -238,25 +290,56 @@ def minhash_verified_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def make_simhash_udf(seed: int = 11):
-    """tokens array → 64-bit simhash (sign of per-bit weighted sums)."""
+    """tokens array → 64-bit simhash (sign of per-bit weighted sums).
+
+    Batch-vectorized: the Arrow batch's token lists flatten into one
+    array; digest calls run once per UNIQUE token (np.unique + a
+    cross-batch memo — natural-language batches repeat most tokens), the
+    per-bit ±1 sums come from one add.reduceat over doc boundaries, and
+    the sign bits pack in 64 vector ops. Bit-identical to the previous
+    per-row kernel."""
     from pyspark.sql.functions import pandas_udf
 
-    def simhash(tokens) -> int:
-        if tokens is None or len(tokens) == 0:
-            return 0
-        hs = np.array([_stable_hash64(t, seed) for t in tokens],
-                      dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        sums = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
-            if sums[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out.astype(np.int64))
+    memo: dict[str, int] = {}
+    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+
+    def _hash_unique(uniq) -> np.ndarray:
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = memo.get(t)
+            if h is None:
+                if len(memo) > 1_000_000:  # bound executor memory
+                    memo.clear()
+                h = memo[t] = _stable_hash64(t, seed)
+            out[i] = h
+        return out
 
     def _batch(token_lists):
-        return pd.Series([simhash(t) for t in token_lists])
+        n = len(token_lists)
+        result = np.zeros(n, dtype=np.int64)
+        lens = np.fromiter((0 if t is None else len(t)
+                            for t in token_lists), dtype=np.int64, count=n)
+        flat = [tok for t in token_lists if t is not None and len(t)
+                for tok in t]
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                                  return_inverse=True)
+            hs = _hash_unique(uniq)
+            contrib = (2 * ((hs[:, None] >> bit_idx) & np.uint64(1))
+                       .astype(np.int64) - 1)        # (U, 64) of ±1
+            rowc = contrib[inv]                      # (T, 64)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            nz = lens > 0
+            # reduceat over non-empty docs' start offsets: each segment
+            # runs to the next non-empty doc's start — exactly this doc's
+            # tokens (empty docs contribute no rows in between)
+            sums = np.add.reduceat(rowc, offs[nz], axis=0)
+            packed = np.zeros(int(nz.sum()), dtype=np.uint64)
+            pos = sums > 0
+            for i in range(64):
+                packed |= pos[:, i].astype(np.uint64) << np.uint64(i)
+            result[nz] = packed.view(np.int64)
+        return pd.Series(result)
 
     _batch.__annotations__ = {"token_lists": pd.Series, "return": pd.Series}
     return pandas_udf(LongType())(_batch)

@@ -1142,7 +1142,11 @@ class SearchIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         # retired raw frames (replaced by promoted co-partitioned twins
         # during an EARLIER query's plan build) are safe to drop now: that
-        # query's action has run and materialized the swap
+        # query's action has run and materialized the swap. Caveat: a
+        # plan-only caller (debug_query/explain, plan-shape tests) builds
+        # the promoting plan without running an action, so the swap may
+        # not be materialized yet — the promoted entry then re-decodes on
+        # first use. Perf-only; correctness is unaffected.
         for old in self._retired:
             old.unpersist()
         self._retired.clear()

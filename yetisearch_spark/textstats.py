@@ -167,24 +167,46 @@ def make_fingerprint_udf(k: int = 9, window: int = 8):
         pw[i] = acc
         acc = (acc * BASE) & MASK32
 
-    def fingerprint(text: str) -> list[int]:
-        t = " ".join((text or "").lower().split())
-        codes = np.frombuffer(t.encode("utf-8", "ignore"),
-                              dtype=np.uint8).astype(np.uint64)
-        n = codes.size
-        if n < k:
-            return []
-        sw = np.lib.stride_tricks.sliding_window_view(codes, k)
-        h = (sw * pw[None, :]).sum(axis=1) & MASK32
-        if h.size <= window:
-            return [int(h.min())]
-        # winnow: min per sliding window (vectorized via stride trick)
-        sw = np.lib.stride_tricks.sliding_window_view(h, window)
-        mins = sw.min(axis=1)
-        return sorted({int(x) for x in mins})
-
     def _batch(texts):
-        return pd.Series([fingerprint(t) for t in texts])
+        # batch-flattened winnowing (round-4 verdict: no per-doc hash
+        # passes): every doc's bytes concatenate into ONE array, the
+        # k-gram polynomial hashes and the window minima each run as a
+        # single boundary-safe sliding-window pass over the whole batch;
+        # only the final per-doc unique+sort (tiny output arrays) loops.
+        from .dedup import _flat_window_rows
+        norm = [" ".join((t or "").lower().split()).encode("utf-8", "ignore")
+                for t in texts]
+        n = len(norm)
+        out: list[list[int] | None] = [[] for _ in range(n)]
+        lens = np.fromiter((len(s) for s in norm), dtype=np.int64, count=n)
+        keep = lens >= k                       # docs shorter than k → []
+        if not keep.any():
+            return pd.Series(out)
+        kept_idx = np.flatnonzero(keep)
+        cat = np.frombuffer(b"".join(norm[i] for i in kept_idx),
+                            dtype=np.uint8).astype(np.uint64)
+        rows, S, offs = _flat_window_rows(lens[keep], k)
+        sw = np.lib.stride_tricks.sliding_window_view(cat, k)
+        h = (sw[rows] * pw[None, :]).sum(axis=1) & MASK32
+        # winnow: docs with ≤ window hashes keep their single min; the
+        # rest take sliding-window minima (one batch pass, boundary-safe)
+        small = S <= window
+        for d in np.flatnonzero(small):
+            seg = h[int(offs[d]):int(offs[d] + S[d])]
+            out[int(kept_idx[d])] = [int(seg.min())]
+        if (~small).any():
+            wrows, wS, woffs = _flat_window_rows(S[~small], window)
+            hw = np.lib.stride_tricks.sliding_window_view(h, window)
+            # wrows index into per-doc-concatenated hash space; offset
+            # each big doc's rows by its start in h
+            big_idx = np.flatnonzero(~small)
+            shift = np.repeat(offs[big_idx] - np.concatenate(
+                ([0], np.cumsum(S[big_idx])))[:-1], wS)
+            mins = hw[wrows + shift].min(axis=1)
+            for j, d in enumerate(big_idx):
+                seg = mins[int(woffs[j]):int(woffs[j] + wS[j])]
+                out[int(kept_idx[d])] = sorted({int(x) for x in seg})
+        return pd.Series(out)
 
     _batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(ArrayType(LongType()))(_batch)

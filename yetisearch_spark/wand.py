@@ -122,7 +122,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
                               "reason": "duplicate-terms"}
         return out
-    terms = list(dict.fromkeys(terms))
+    # (terms are duplicate-free here — the gate above routed repeats away)
 
     stats = index.term_stats_for(terms)
     if shape == "and" and any(t not in stats for t in terms):
