@@ -512,6 +512,28 @@ def q_engine_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_engine_pruned_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine.search routed through the block-max pruned tier (round-5
+    facade wiring, D4): pruned_gate_blocks=0 forces the tier inside the
+    user-facing engine — the page comes from wand.pruned_scored, the
+    total from the AND rule's count-exact pruned frame, and R5
+    normalization consumes the pruned page unchanged. The oracle
+    recomputes exact BM25 AND top-10 plus the same 0-100 page
+    normalization from the materialized analyzer token table."""
+    from yetisearch_spark.engine import Engine
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "engpf")
+    from yetisearch_spark.engine import SearchQuery
+    eng = Engine(spark, {"main": idx.index_dir},
+                 config={"enable_fuzzy": False, "pruned_gate_blocks": 0})
+    res = eng.search("main", SearchQuery(query="data query", limit=10))
+    rows = [(r["document"]["doc_id"], float(r["score"]))
+            for r in res["results"]]
+    return spark.createDataFrame(rows or [(None, None)],
+                                 "doc_id long, score double").where(
+        F.col("doc_id").isNotNull())
+
+
 def q_near3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-phrase NEAR top-10 through the batch-vectorized trim kernel
     (round 4, query.SearchIndex._near_table k>=3 path). The oracle
@@ -723,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_search": q_engine_search,
         "engine_fuzzy": q_engine_fuzzy,
         "engine_pruned_topk": q_engine_pruned_topk,
+        "engine_pruned_facade": q_engine_pruned_facade,
         "near3_topk": q_near3_topk,
         "engine_boosted": q_engine_boosted,
         "engine_geo": q_engine_geo,
@@ -748,11 +771,24 @@ _TOK_SQL = """
 """
 
 
-def _exact_and_sql(prefix: str, terms: tuple[str, str] = ("data", "queri")) -> str:
+def _exact_and_sql(prefix: str, terms: tuple[str, str] = ("data", "queri"),
+                   normalize: bool = False) -> str:
     """BM25 AND top-10 recomputed from a materialized analyzer token table
     (same contribution formula / idf clamp / tie-break as
-    query.SearchIndex; the 2-term sum is order-independent in IEEE)."""
+    query.SearchIndex; the 2-term sum is order-independent in IEEE).
+    ``normalize``: apply the engine's R5 page normalization (0-100 by the
+    fetched page's max raw score) — for entries routed through the full
+    Engine.search facade."""
     t1, t2 = terms
+    if normalize:
+        final = """,
+        sel AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id LIMIT 10)
+        SELECT doc_id, round(s / (SELECT max(s) FROM sel) * 100.0, 1) AS score
+        FROM sel ORDER BY s DESC, doc_id"""
+    else:
+        final = """
+        SELECT doc_id, round(s, 4) AS score FROM scored
+        ORDER BY s DESC, doc_id LIMIT 10"""
     return f"""
         WITH tok AS (SELECT doc_id, term
                      FROM read_parquet('{MAT_DIR}/{prefix}_tokens/*.parquet')),
@@ -768,9 +804,7 @@ def _exact_and_sql(prefix: str, terms: tuple[str, str] = ("data", "queri")) -> s
                        / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl))) AS s
             FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id)
             CROSS JOIN g
-            GROUP BY t.doc_id HAVING count(*) = 2)
-        SELECT doc_id, round(s, 4) AS score FROM scored
-        ORDER BY s DESC, doc_id LIMIT 10
+            GROUP BY t.doc_id HAVING count(*) = 2){final}
     """
 
 
@@ -1075,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         # from those tokens, value-checking the whole downstream pipeline.
         "engine_search": _exact_and_sql("engs"),
         "engine_pruned_topk": _exact_and_sql("engp"),
+        "engine_pruned_facade": _exact_and_sql("engpf", normalize=True),
         "near3_topk": f"""
             WITH tok AS (SELECT doc_id, pos, term
                          FROM read_parquet('{MAT_DIR}/near3_tokens/*.parquet')),

@@ -154,13 +154,15 @@ def main() -> None:
         runs.append(time.time() - t0)
     timings["engine_weighted_and"] = round(sorted(runs)[1], 4)
 
-    # block-max pruned serving path
+    # block-max pruned serving path THROUGH THE FACADE (round 5: the
+    # cost gate lives inside SearchIndex.search — this measures the
+    # user-visible route, gate decision included)
     from yetisearch_spark.wand import pruned_topk
-    pruned_topk(idx, "search AND data", k=10).collect()
+    idx.search("search AND data", k=10).collect()
     runs = []
     for _ in range(3):
         t0 = time.time()
-        pruned_topk(idx, "search AND data", k=10).collect()
+        idx.search("search AND data", k=10).collect()
         runs.append(time.time() - t0)
     timings["engine_pruned_and"] = round(sorted(runs)[1], 4)
 
@@ -202,7 +204,18 @@ def main() -> None:
     # outside the timing so both paths measure pure query work.
     skew_idx = SearchIndex(spark, skew_idx_dir,
                            cache_postings=False, cache_docs=False)
+    # the _exact legs are the unpruned BASELINE — pin the facade route
+    # off for this handle (round 5 made SearchIndex.search gate-routed,
+    # and the 15.6k-block head term would engage pruning by default)
+    skew_idx.pruned_gate_blocks = -1
     skew_idx.term_stats_for(["zzhead", "zzrare"])
+    # facade handle: DEFAULT gate — measures that a plain
+    # SearchIndex.search user gets the pruned tier on head terms with no
+    # knobs (the round-5 wiring; reference analog: FTS5 top-k pruning is
+    # always on under ORDER BY rank LIMIT)
+    facade_idx = SearchIndex(spark, skew_idx_dir,
+                             cache_postings=False, cache_docs=False)
+    facade_idx.term_stats_for(["zzhead", "zzrare"])
 
     def _cold_median(fn, n=3):
         runs = []
@@ -222,6 +235,8 @@ def main() -> None:
             lambda ix, q=q: ix.search(q, k=10)), 4)
         timings[f"{name}_pruned"] = round(_cold_median(
             lambda ix, q=q: pruned_topk(ix, q, k=10, gate_blocks=0)), 4)
+        timings[f"{name}_facade"] = round(_cold_median(
+            lambda ix, q=q: facade_idx.search(q, k=10)), 4)
 
     # fuzzy typo correction through the engine
     from yetisearch_spark.engine import Engine, SearchQuery

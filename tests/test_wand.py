@@ -74,7 +74,9 @@ def test_fallback_for_phrase(index):
     got, stats = _pruned(index, q)
     want = _exact(index, q)
     assert got == want
-    assert stats is None  # fell back to exact path
+    # fell back to exact path (round 5: the fallback carries a routing
+    # marker instead of None)
+    assert stats["gated"] and stats["reason"] == "shape"
 
 
 def test_missing_term(index):

@@ -208,6 +208,10 @@ class Engine:
             "geo_lng_col": "lng",
             # R7 two-pass (reference SearchEngine.php:139-203)
             "two_pass_search": False,
+            # block-max pruned serving tier gate (None → wand.py's
+            # block-estimate defaults; 0 forces pruning for eligible
+            # shapes; negative disables the facade route)
+            "pruned_gate_blocks": None,
             "field_weights": {},
             "primary_fields": ("title", "h1", "name", "label"),
             "primary_field_limit": 20,
@@ -275,6 +279,9 @@ class Engine:
             live = SearchIndex(self.spark, d)
         else:
             live = base
+        # facade pruned-tier gate: the engine-level knob reaches every
+        # served view (None → wand defaults; 0 forces; negative disables)
+        live.pruned_gate_blocks = self.config["pruned_gate_blocks"]
         self._live_cache[index] = (epoch, live)
         return epoch, live
 
@@ -467,20 +474,30 @@ class Engine:
         return page_rows, total
 
     def _page_and_total_enriched(self, scores: DataFrame, docs: DataFrame,
-                                 n: int, plan_key=None) -> tuple[list[dict], int]:
+                                 n: int, plan_key=None,
+                                 total_literal: int | None = None
+                                 ) -> tuple[list[dict], int]:
         """Hot serving path (no filters/sort/facets): top-n over the bare
         (doc_id, score) match set FIRST, then broadcast-join only the page
         into the doc store (reference J1 shape,
         src/Storage/SqliteStorage.php:1017-1021) — the full docs table
         never enters the scoring plan. Still ONE Spark action: the count
-        branch is unioned in and reuses the scoring shuffle."""
+        branch is unioned in and reuses the scoring shuffle.
+
+        ``total_literal``: driver-known exact total (the pruned
+        single-term route: total = df) — the count branch becomes a
+        1-row literal instead of an aggregation over the match set."""
         order = [("score", False), ("doc_id", True)]
 
         def build():
             topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
             page = (docs.join(F.broadcast(topk), "doc_id")
                     .withColumn("_total", F.lit(None).cast("long")))
-            stats = scores.agg(F.count(F.lit(1)).alias("_total"))
+            if total_literal is not None:
+                stats = scores.sparkSession.range(1).select(
+                    F.lit(int(total_literal)).cast("long").alias("_total"))
+            else:
+                stats = scores.agg(F.count(F.lit(1)).alias("_total"))
             return page.unionByName(stats, allowMissingColumns=True)
         rows = self._memo_page_plan(plan_key, build).collect()
         return Engine._split_union_rows(rows, order)
@@ -531,15 +548,6 @@ class Engine:
         # (reference SqliteStorage multi-column mode, :993-1021); the R2
         # page-level rescore below applies on top, matching :1186-1233
         bm25_weights = q.boost_fields if len(idx.fields) > 1 else None
-        # two-touch decode promotion: when this build first-touches a term
-        # (raw, not yet co-partitioned frame), the page plan must not be
-        # memoized either — the next identical query rebuilds over the
-        # promoted frames and THAT plan is the keeper
-        idx._plan_volatile = False
-        scores = idx.match_scores(node, weights=bm25_weights)
-        if getattr(idx, "_plan_volatile", False):
-            plan_key = None
-        handles = getattr(scores, "_ys_handles", [])
         doc_cols = idx._docs.columns
 
         fuzzy_live = bool(q.fuzzy and fuzzy_map and "text" in doc_cols)
@@ -561,11 +569,56 @@ class Engine:
         # when full-set semantics depend on doc columns
         docs_in_set = bool(q.filters) or bool(q.sort) or route_live \
             or persist_matched or geo_live
-        matched = apply_filters(idx._docs, q.filters).join(scores, "doc_id") \
-            if docs_in_set else scores
-
         dist_sort = geo.get("distance_sort") if geo_live else None
         dw = float(self.config["distance_weight"])
+
+        # R3: overfetch candidates when driver-side rescoring can
+        # reorder them (reference: src/Storage/SqliteStorage.php:903-913)
+        overfetch = fuzzy_live or rescore_live or dw > 0
+        fetch_n = max(effective_limit(q.limit) if overfetch else 0,
+                      q.offset + q.limit)
+        # R7 two-pass (reference SearchEngine.php:139-203) — decided
+        # before scoring so the pruned route can exclude it
+        two_pass = (self.config["two_pass_search"]
+                    and self.config["field_weights"]
+                    and len(idx.fields) > 1 and node is not None
+                    and not (q.sort or dist_sort or route_live))
+
+        # two-touch decode promotion: when this build first-touches a term
+        # (raw, not yet co-partitioned frame), the page plan must not be
+        # memoized either — the next identical query rebuilds over the
+        # promoted frames and THAT plan is the keeper
+        idx._plan_volatile = False
+        # Block-max pruned tier through the facade (round-5): eligible
+        # simple shapes whose block estimate clears the cost gate skip
+        # match_scores entirely — the page comes from the pruned scored
+        # frame, and the result TOTAL stays exact (single term: total =
+        # df, zero jobs, blocks of one term partition its docs; AND: the
+        # rule keeps every block that can hold an intersection doc, so
+        # the count branch over the pruned frame is exact). Flat OR is
+        # page-exact but not count-complete, and the engine contract
+        # reports exact totals (reference runs a full storage count per
+        # search, SearchEngine.php:207) — OR therefore only takes this
+        # route via SearchIndex.search, not the engine.
+        scores = None
+        pruned_total: int | None = None
+        if (node is not None and not docs_in_set and not two_pass
+                and bm25_weights is None
+                and (idx.pruned_gate_blocks is None
+                     or idx.pruned_gate_blocks >= 0)):
+            from .wand import pruned_scored
+            ps, pinfo = pruned_scored(idx, node, fetch_n,
+                                      gate_blocks=idx.pruned_gate_blocks)
+            if ps is not None and pinfo.get("count_exact"):
+                scores = ps
+                pruned_total = pinfo.get("total")
+        if scores is None:
+            scores = idx.match_scores(node, weights=bm25_weights)
+        if getattr(idx, "_plan_volatile", False):
+            plan_key = None
+        handles = getattr(scores, "_ys_handles", [])
+        matched = apply_filters(idx._docs, q.filters).join(scores, "doc_id") \
+            if docs_in_set else scores
         if geo_live:
             need_distance = bool(dist_sort) or dw > 0 or "distance" in q.facets
             matched = self._apply_geo(matched, geo, geo_units, latc, lngc,
@@ -605,20 +658,10 @@ class Engine:
             else:
                 order = [("score", False), ("doc_id", True)]
 
-            # R3: overfetch candidates when driver-side rescoring can
-            # reorder them (reference: src/Storage/SqliteStorage.php:903-913)
-            overfetch = fuzzy_live or rescore_live or dw > 0
-            fetch_n = max(effective_limit(q.limit) if overfetch else 0,
-                          q.offset + q.limit)
-
-            # R7 two-pass (reference SearchEngine.php:139-203): pass 1
-            # restricted to primary fields (zero weights elsewhere + >0
-            # score cut == field-restricted match) with doubled weights,
-            # boosted ×1.5 in the merge; pass 2 is the standard ranking.
-            two_pass = (self.config["two_pass_search"]
-                        and self.config["field_weights"]
-                        and len(idx.fields) > 1 and node is not None
-                        and not (q.sort or dist_sort or route_live))
+            # R7 two-pass: pass 1 restricted to primary fields (zero
+            # weights elsewhere + >0 score cut == field-restricted match)
+            # with doubled weights, boosted ×1.5 in the merge; pass 2 is
+            # the standard ranking.
             if two_pass:
                 rows, total, extra_handles = self._two_pass_rows(
                     idx, node, scores, q, fetch_n)
@@ -628,7 +671,8 @@ class Engine:
                                                    plan_key=plan_key)
             else:
                 rows, total = self._page_and_total_enriched(
-                    matched, idx._docs, fetch_n, plan_key=plan_key)
+                    matched, idx._docs, fetch_n, plan_key=plan_key,
+                    total_literal=pruned_total)
 
             # ---- driver-side processResults (row-level, ≤ fetch_n rows) ----
             if rescore_live and not route_live:

@@ -433,6 +433,14 @@ class SearchIndex:
     #: the shuffle-free AND/OR join paths (head terms fall back to the
     #: single-shuffle aggregation)
     BROADCAST_DF_CAP = 4_000_000
+    #: facade cost gate for the block-max pruned top-k tier (wand.py):
+    #: None → wand's block-estimate defaults (prune only when the shape
+    #: is simple AND the term block count makes pruning worth a phase-1
+    #: metadata job); 0 forces pruning for every eligible shape (tests /
+    #: benches); negative disables the facade route entirely. The
+    #: reference analog is FTS5's internal top-k pruning, always on
+    #: under ORDER BY rank LIMIT (src/Storage/SqliteStorage.php:1104-1134).
+    pruned_gate_blocks: int | None = None
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_postings: bool = True, cache_docs: bool = True):
@@ -1314,12 +1322,36 @@ class SearchIndex:
         """
         node = parse_query(query) if isinstance(query, str) else query
         key = ("topk", node, k, self._normalize_weights(weights),
-               repr(sorted(filters.items())) if filters else None, with_docs)
+               repr(sorted(filters.items())) if filters else None, with_docs,
+               self.pruned_gate_blocks)
         return self._cached_plan(
             key, lambda: self._search_build(node, k, filters, with_docs,
                                             weights))
 
     def _search_build(self, node, k, filters, with_docs, weights) -> DataFrame:
+        # block-max pruned tier (D4 facade routing, round-5): eligible
+        # simple shapes with enough blocks to make pruning pay route
+        # through wand.pruned_scored; results are exactly the exact
+        # path's (pruned == exact is correctness-tested at 1e-9). Falls
+        # through on any gate reason (shape, tombstones, duplicates,
+        # below block estimate, empty).
+        if (not filters and node is not None
+                and self._normalize_weights(weights) is None
+                and (self.pruned_gate_blocks is None
+                     or self.pruned_gate_blocks >= 0)):
+            from .wand import pruned_scored
+            scored, info = pruned_scored(self, node, k,
+                                         gate_blocks=self.pruned_gate_blocks)
+            if scored is not None:
+                topk = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(k))
+                if with_docs:
+                    topk = (self._docs.join(F.broadcast(topk), "doc_id")
+                            .orderBy(F.desc("score"), F.asc("doc_id")))
+                topk._ys_handles = []  # type: ignore[attr-defined]
+                topk._pruning_stats = info.get(  # type: ignore[attr-defined]
+                    "prune_stats")
+                return topk
         scores = self.match_scores(node, weights=weights)
         handles = getattr(scores, "_ys_handles", [])
         if filters:

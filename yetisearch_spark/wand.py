@@ -100,9 +100,46 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     path never runs, and with few blocks there is nothing to skip.
     None → max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K·k); 0 → always prune."""
     node = parse_query(query) if isinstance(query, str) else query
+    scored, info = pruned_scored(index, node, k, driver_cap=driver_cap,
+                                 gate_blocks=gate_blocks)
+    if scored is None:
+        if info.get("reason") == "empty":
+            return index.spark.createDataFrame([], "doc_id long, score double")
+        # .select("*") wraps the (possibly plan-cache-shared) frame so the
+        # routing marker never leaks onto other callers' handles
+        out = index.search(node, k=k).select("*")
+        out._pruning_stats = info  # type: ignore[attr-defined]
+        return out
+    out = (scored.select("doc_id", "score")
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    out._pruning_stats = info.get("prune_stats")  # type: ignore[attr-defined]
+    return out
+
+
+def pruned_scored(index: SearchIndex, node, k: int,
+                  driver_cap: int = DRIVER_CAP,
+                  gate_blocks: int | None = None
+                  ) -> tuple[DataFrame | None, dict]:
+    """Phase-1+2 of the pruned path WITHOUT the final top-k: returns
+    (scored, info) where ``scored`` is the pre-limit (doc_id, score)
+    frame over the surviving blocks, or None when the query routed to the
+    exact path (info["gated"]=True with a reason) or can match nothing
+    (info["reason"]="empty").
+
+    The facade (SearchIndex.search / Engine.search) consumes this: the
+    top-k page comes from ``scored.orderBy(...).limit(k)``, and — for
+    result totals — info["total"] is the EXACT match count for shape
+    "single" (the term's df: blocks of one term partition its docs), and
+    info["count_exact"]=True for shape "and" (the AND rule keeps every
+    block that can hold an intersection doc, so counting ``scored`` is
+    exact). Flat OR's scored frame is top-k-exact but not count-complete
+    (docs whose every block fell below θ are absent) —
+    info["count_exact"]=False."""
     ok, terms, shape = _is_simple(node)
+    info: dict = {"gated": True}
     if not ok:
-        return index.search(node, k=k)
+        info["reason"] = "shape"
+        return None, info
     if getattr(index, "_tomb", None) is not None:
         # Deleted docs make the score-bound selection unsound: block-max
         # scores may be attained by tombstoned (hidden) docs, so theta
@@ -110,26 +147,21 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         # A tombstoned view therefore serves the exact path until
         # compaction clears the delete vector (append-only segmented
         # views have _tomb=None and keep the pruned path).
-        out = index.search(node, k=k).select("*")
-        out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
-                              "reason": "tombstones"}
-        return out
+        info["reason"] = "tombstones"
+        return None, info
     if len(set(terms)) != len(terms):
         # duplicate phrase slots ("say OR say") score TWICE in FTS5 (and
         # in the exact path); the pruned phase-2 shapes key per term and
         # would halve them — route to the exact path
-        out = index.search(node, k=k).select("*")
-        out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
-                              "reason": "duplicate-terms"}
-        return out
-    # (terms are duplicate-free here — the gate above routed repeats away)
+        info["reason"] = "duplicate-terms"
+        return None, info
 
     stats = index.term_stats_for(terms)
     if shape == "and" and any(t not in stats for t in terms):
-        return index.spark.createDataFrame([], "doc_id long, score double")
+        return None, {"reason": "empty"}
     terms = [t for t in terms if t in stats]
     if not terms:
-        return index.spark.createDataFrame([], "doc_id long, score double")
+        return None, {"reason": "empty"}
     idf = {t: index.idf(stats[t][0]) for t in terms}
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
@@ -137,12 +169,8 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     gate = max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K * k) \
         if gate_blocks is None else gate_blocks
     if sum(est_blocks.values()) < gate:
-        # .select("*") wraps the (possibly plan-cache-shared) frame so the
-        # routing marker never leaks onto other callers' handles
-        out = index.search(node, k=k).select("*")
-        out._pruning_stats = {"gated": True,  # type: ignore[attr-defined]
-                              "est_blocks": sum(est_blocks.values())}
-        return out
+        info["est_blocks"] = sum(est_blocks.values())
+        return None, info
 
     buckets = index._buckets_for_terms(terms)
     meta = (index._postings
@@ -158,7 +186,7 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         full_terms, selected, meta_counts = _driver_select(
             meta, terms, stats, idf, shape, k, index=index)
         if not selected and not full_terms:
-            return index.spark.createDataFrame([], "doc_id long, score double")
+            return None, {"reason": "empty"}
         # driver selection yields CONCRETE block keys → push them into the
         # parquet scan as literal predicates (postings files are sorted by
         # (term, salt, min_doc), so row-group stats prune the unread
@@ -295,10 +323,13 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
         scored = scored.select("doc_id", score.alias("score"))
     # tombstoned views were routed to the exact path above (the score
     # bounds are deletion-unsafe), so phase-2 never sees hidden docs
-    out = (scored.select("doc_id", "score")
-           .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-    out._pruning_stats = prune_stats  # type: ignore[attr-defined]
-    return out
+    scored = scored.select("doc_id", "score")
+    out_info = {"gated": False, "shape": shape,
+                "prune_stats": prune_stats,
+                "count_exact": shape in ("single", "and")}
+    if shape == "single":
+        out_info["total"] = int(stats[terms[0]][0])
+    return scored, out_info
 
 
 # ---------------------------------------------------------------------------
