@@ -101,20 +101,17 @@ def test_segmented_view_stats_single_job(spark, tmp_path):
     live.close()
 
 
-def test_delete_df_drift_bounded_until_compaction(spark, tmp_path):
-    """Documented Lucene delete-vector semantics: n_docs/avgdl are
-    corrected immediately but per-term df keeps deleted docs' residue
-    until compaction, so segmented scores sit at or BELOW the compacted
-    index's (idf with inflated df is smaller), within a bounded relative
-    drift. This test pins the approximation: same doc set, seg <= comp,
-    relative drift < 25% here, and nonzero (it is an approximation,
-    not an identity)."""
+def test_deleted_serving_identical_to_compacted(spark, tmp_path):
+    """Round 5: per-term deleted-df deltas (recorded at tombstone time)
+    plus decode-level tombstone filtering make the segmented view's
+    df/idf/phrase-df EXACT under deletes — scores are IDENTICAL to the
+    compacted index at 1e-9 (the round-4 <25% drift bound is retired)."""
     pdf = generate_transcripts(800, seed=64)
     out = str(tmp_path / "drift_idx")
     build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
     base = SearchIndex(spark, out)
     # delete every OTHER match of each probe term — survivors keep
-    # matching while the stored df keeps the victims' residue
+    # matching while the stored posting blocks keep the victims' residue
     victims = sorted({r["doc_id"] for q in ("data", "process", "error")
                       for r in base.search(q, k=500).collect()[::2]})
     base.close()
@@ -125,8 +122,10 @@ def test_delete_df_drift_bounded_until_compaction(spark, tmp_path):
     from yetisearch_spark.streaming import compact
     compact(spark, out, comp)
     cidx = SearchIndex(spark, comp)
+    # term stats themselves must be delete-exact (df AND cf)
+    for t in ("data", "process", "error"):
+        assert live.term_stats_for([t]) == cidx.term_stats_for([t]), t
     # compacted doc_ids are re-densified; compare via (conv_id, turn_idx)
-    drifts = []
     for q in QUERIES:
         a = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
              live.search(q, k=200, with_docs=True).collect()}
@@ -134,10 +133,38 @@ def test_delete_df_drift_bounded_until_compaction(spark, tmp_path):
              cidx.search(q, k=200, with_docs=True).collect()}
         assert set(a) == set(b), q   # same visible docs match
         for key in a:
-            assert a[key] <= b[key] * (1 + 1e-9), (q, key)
-            drifts.append(1.0 - a[key] / b[key])
-    assert max(drifts) < 0.25, max(drifts)
-    assert max(drifts) > 0.0   # residual df genuinely shifts scores
+            assert a[key] == pytest.approx(b[key], rel=1e-9), (q, key)
+    live.close()
+    cidx.close()
+
+
+def test_deleted_df_deltas_dedupe_double_deletes(spark, tmp_path):
+    """Deleting the same doc twice must not double-subtract its df
+    deltas (and a second identical delete is a no-op)."""
+    from yetisearch_spark.streaming import load_deleted_df
+    pdf = generate_transcripts(300, seed=65)
+    out = str(tmp_path / "dd_idx")
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
+    base = SearchIndex(spark, out)
+    victims = sorted({r["doc_id"]
+                      for r in base.search("data", k=50).collect()[:5]})
+    base.close()
+    delete_docs(spark, out, victims)
+    d1 = (load_deleted_df(spark, out).groupBy().agg(
+        F.sum("df").alias("s")).collect()[0]["s"])
+    delete_docs(spark, out, victims)      # exact repeat
+    delete_docs(spark, out, victims[:2])  # partial repeat
+    d2 = (load_deleted_df(spark, out).groupBy().agg(
+        F.sum("df").alias("s")).collect()[0]["s"])
+    assert d1 == d2
+    live = GlobalSegmentedIndex(spark, out)
+    comp = str(tmp_path / "dd_compacted")
+    from yetisearch_spark.streaming import compact
+    compact(spark, out, comp)
+    cidx = SearchIndex(spark, comp)
+    assert live.term_stats_for(["data"]) == cidx.term_stats_for(["data"])
+    live.close()
+    cidx.close()
     live.close()
     cidx.close()
 

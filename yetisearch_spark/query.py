@@ -456,6 +456,11 @@ class SearchIndex:
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._docs = load_docs(spark, index_dir, self.manifest)
+        #: delete vector (doc_id frame) — None on a plain index; the
+        #: GlobalSegmentedIndex serving view sets it, and every decoded
+        #: posting frame anti-joins it BEFORE caching (see
+        #: _decoded_for_term), so downstream tables are delete-exact
+        self._tomb: Optional[DataFrame] = None
         if cache_docs:
             # serving replicas pin the doc store (MEMORY_AND_DISK — spills,
             # never OOMs); the payload join then reads memory, not parquet
@@ -618,12 +623,19 @@ class SearchIndex:
         def factory():
             from .xxhash64 import bucket_of
             b = bucket_of(term, self.num_buckets)
-            return (self._postings
-                    .where(F.col("bucket") == b)
-                    .where(F.col("term") == term)
-                    .select("term", "data")
-                    .mapInPandas(_decode_factory(with_positions),
-                                 schema=_DECODED_SCHEMA))
+            out = (self._postings
+                   .where(F.col("bucket") == b)
+                   .where(F.col("term") == term)
+                   .select("term", "data")
+                   .mapInPandas(_decode_factory(with_positions),
+                                schema=_DECODED_SCHEMA))
+            if self._tomb is not None:
+                # delete-exact frames: hidden docs never enter the cache,
+                # so phrase dfs / NEAR trims / counts need no per-query
+                # anti-join (the deltas keep term stats exact to match)
+                out = out.join(self._tomb.select("doc_id"),
+                               "doc_id", "left_anti")
+            return out
         key = ("t", term, with_positions)
         if not self._cache_postings or key in self._decoded_cache:
             # the hint only sizes a NEW cache fill — don't pay a term-stats
@@ -636,10 +648,14 @@ class SearchIndex:
     def _decoded_for_prefix(self, prefix: str) -> DataFrame:
         def factory():
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            return (self._postings
-                    .where((F.col("term") >= prefix) & (F.col("term") < hi))
-                    .select("term", "data")
-                    .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
+            out = (self._postings
+                   .where((F.col("term") >= prefix) & (F.col("term") < hi))
+                   .select("term", "data")
+                   .mapInPandas(_decode_factory(True), schema=_DECODED_SCHEMA))
+            if self._tomb is not None:
+                out = out.join(self._tomb.select("doc_id"),
+                               "doc_id", "left_anti")
+            return out
         return self._cached_decoded(("p", prefix), factory)
 
     def _empty_match(self) -> DataFrame:

@@ -151,12 +151,60 @@ def tombstone_path(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
 
+def deleted_df_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deleted_df")
+
+
+def load_deleted_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = deleted_df_path(index_dir)
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def _record_tombstones(spark: SparkSession, index_dir: str,
+                       victims: DataFrame) -> int:
+    """Central S5 delete bookkeeping (round-5): dedupe the victim set
+    against existing tombstones, record per-term deleted-df/cf DELTAS
+    (one job bounded by the victims' own token counts — their tokens are
+    in the docs store, so no posting decode), append the tombstone rows,
+    bump the epoch. Serving subtracts the deltas from merged term stats,
+    making segmented df/idf EXACT under deletes (scores identical to the
+    compacted index at 1e-9 — the round-4 <25% drift bound is retired).
+    Returns the number of NEWLY tombstoned docs."""
+    victims = victims.select("doc_id").dropDuplicates()
+    existing = load_tombstones(spark, index_dir)
+    if existing is not None:
+        # double-deletes must not double-subtract the deltas
+        victims = victims.join(existing, "doc_id", "left_anti")
+    victims = victims.persist()
+    try:
+        n_new = victims.count()
+        if n_new == 0:
+            return 0
+        seg = SegmentedIndex(spark, index_dir)
+        try:
+            deltas = (seg.docs().join(victims, "doc_id", "left_semi")
+                      .select("doc_id", F.explode("tokens").alias("term"))
+                      .groupBy("term")
+                      .agg(F.countDistinct("doc_id").cast("long").alias("df"),
+                           F.count(F.lit(1)).cast("long").alias("cf")))
+            deltas.write.mode("append").parquet(deleted_df_path(index_dir))
+        finally:
+            seg.close()
+        victims.write.mode("append").parquet(tombstone_path(index_dir))
+        bump_epoch(index_dir)
+        return n_new
+    finally:
+        victims.unpersist()
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
     """Record deletes; applied as an anti-join at query time and made
-    physical at compaction (delete-vector model)."""
+    physical at compaction (delete-vector model). Per-term df deltas are
+    recorded at delete time so segmented serving stays df-exact."""
     df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
-    df.write.mode("append").parquet(tombstone_path(index_dir))
-    bump_epoch(index_dir)
+    _record_tombstones(spark, index_dir, df)
 
 
 def upsert_documents(spark: SparkSession, index_dir: str,
@@ -171,9 +219,7 @@ def upsert_documents(spark: SparkSession, index_dir: str,
     keys = transcripts.select("conv_id", "turn_idx").dropDuplicates()
     victims = (seg.docs().join(keys, ["conv_id", "turn_idx"], "left_semi")
                .select("doc_id"))
-    n_replaced = victims.count()
-    if n_replaced:
-        victims.write.mode("append").parquet(tombstone_path(index_dir))
+    n_replaced = _record_tombstones(spark, index_dir, victims)
     manifest = append_segment(spark, index_dir, transcripts, epoch,
                               **build_kwargs)
     return {"replaced": n_replaced,
@@ -192,10 +238,8 @@ def delete_by_conv_prefix(spark: SparkSession, index_dir: str,
     victims = (seg.docs()
                .where(F.col("conv_id").startswith(prefix))
                .select("doc_id"))
-    n = victims.count()
-    if n:
-        victims.write.mode("append").parquet(tombstone_path(index_dir))
-        bump_epoch(index_dir)
+    n = _record_tombstones(spark, index_dir, victims)
+    seg.close()
     return n
 
 
@@ -341,6 +385,22 @@ class GlobalSegmentedIndex(SearchIndex):
         self._term_stats = (term_stats.groupBy("bucket", "term")
                             .agg(F.sum("df").cast("long").alias("df"),
                                  F.sum("cf").cast("long").alias("cf")))
+        # per-term deleted-df deltas (recorded at tombstone time,
+        # _record_tombstones): subtracting them makes df/cf EXACT under
+        # deletes — idf, vocabulary and the corrector all see compacted-
+        # identical stats. Fully-deleted terms leave the vocabulary.
+        deltas = load_deleted_df(spark, index_dir)
+        if deltas is not None:
+            agg = deltas.groupBy("term").agg(F.sum("df").alias("_ddf"),
+                                             F.sum("cf").alias("_dcf"))
+            self._term_stats = (
+                self._term_stats.join(agg, "term", "left")
+                .select("bucket", "term",
+                        F.greatest(F.col("df") - F.coalesce("_ddf", F.lit(0)),
+                                   F.lit(0)).cast("long").alias("df"),
+                        F.greatest(F.col("cf") - F.coalesce("_dcf", F.lit(0)),
+                                   F.lit(0)).cast("long").alias("cf"))
+                .where(F.col("df") > 0))
         self._docs = docs.persist() if cache_docs else docs
         self._docs_cached = cache_docs
         self._vocab_cache = None
@@ -358,13 +418,13 @@ class GlobalSegmentedIndex(SearchIndex):
         # everything else (scoring, caches, prepared plans, release/close)
         # is inherited SearchIndex behavior over the union relations
 
-    def match_scores(self, node, weights=None) -> DataFrame:
-        out = super().match_scores(node, weights=weights)
-        if self._tomb is not None:
-            handles = getattr(out, "_ys_handles", [])
-            out = out.join(self._tomb, "doc_id", "left_anti")
-            out._ys_handles = handles  # type: ignore[attr-defined]
-        return out
+    # No match_scores override: tombstones are filtered at DECODE level
+    # (SearchIndex._decoded_for_term/_decoded_for_prefix anti-join
+    # self._tomb before the frames are cached), so every downstream
+    # table — phrase dfs, NEAR trims, scoring, counts — is delete-exact
+    # with zero per-query plan nodes. Together with the deleted-df
+    # deltas above, a tombstoned view scores identically to the
+    # compacted index at 1e-9 (test_lifecycle pins it).
 
 
 def compact(spark: SparkSession, index_dir: str, out_dir: str,

@@ -259,8 +259,13 @@ def pruned_scored(index: SearchIndex, node, k: int,
                                   & (F.col("max_doc") >= env_range[0]))
             scan = scan.join(F.broadcast(sel_df.where(F.col("term") == t)),
                              ["term", "min_doc"], "left_semi")
-        return scan.select("term", "data").mapInPandas(
+        dec = scan.select("term", "data").mapInPandas(
             _decode_factory(False), schema=_DECODED_SCHEMA)
+        if getattr(index, "_tomb", None) is not None:
+            # delete-exact phase 2 (mirrors _decoded_for_term's filter)
+            dec = dec.join(index._tomb.select("doc_id"), "doc_id",
+                           "left_anti")
+        return dec
 
     frames = {t: term_frame(t) for t in terms}
 
