@@ -682,6 +682,26 @@ class SearchIndex:
             h.unpersist()
         self._handle_groups = [g for g in self._handle_groups if g is not handles]
 
+    def _block_meta(self, buckets: Sequence[int],
+                    terms: Sequence[str]) -> DataFrame:
+        """Phase-1 WAND metadata with SOUND score-bound columns
+        [bmax_lb, bmax_ub]: lb is a norm certainly ATTAINED by a visible
+        doc in the block (feeds θ, the k-th-best lower bound), ub
+        certainly bounds every visible doc's norm (feeds the pruning
+        condition). On a plain single-directory index both equal the
+        stored block_max_norm (serving avgdl == build avgdl, no hidden
+        docs). GlobalSegmentedIndex overrides this with per-part avgdl
+        scaling and tombstone-recomputed maxima — stored norms were
+        computed at each part's BUILD avgdl, and bm25_norm is monotone in
+        avgdl with ratio bounded by avgdl_serving/avgdl_build, so
+        lb·min(1,r) / ub·max(1,r) stay sound under avgdl drift."""
+        return (self._postings
+                .where(F.col("bucket").isin(list(buckets)))
+                .where(F.col("term").isin(list(terms)))
+                .select("term", "min_doc", "max_doc", "n_docs",
+                        F.col("block_max_norm").alias("bmax_lb"),
+                        F.col("block_max_norm").alias("bmax_ub")))
+
     def _buckets_for_terms(self, terms: Sequence[str]) -> list[int]:
         """pmod(xxhash64(term), num_buckets) — computed driver-side with a
         bit-exact pure-Python XXH64 (xxhash64.py, verified against
@@ -1307,6 +1327,25 @@ class SearchIndex:
         # matching child and are skipped; flat trees get no gates, so the
         # hot single/AND/OR shapes are untouched.
         gates = _slot_gates(node, present)
+        # FTS5 dead-NOT first-posting leak (round-5 property-sweep find,
+        # probed directly against sqlite3 FTS5): when a NOT node's include
+        # side is DEAD — no doc satisfies it at the DOCLIST level, with
+        # positional constraints ignored (a phrase/NEAR whose constituent
+        # terms never co-occur in one doc is dead; one whose terms
+        # co-occur but fail adjacency/distance is NOT dead) — the
+        # never-advanced exclude iterators leak their first posting into
+        # bm25: each simple exclude phrase's instances score on exactly
+        # its FIRST matching doc_id (iff that doc is in the result set).
+        # Replicated for exclude slots that are plain phrase/prefix atoms
+        # (incl. OR of atoms — probe-verified); compound excludes
+        # (NEAR / nested NOT, where probes show leaks even cancel each
+        # other) are out of replication scope: there we score by the
+        # spec, a documented divergence from the SQLite artifact.
+        for i, tbl in self._dead_not_quirk_slots(
+                node, phrase_tables, phrase_df).items():
+            fm = tbl.agg(F.min("doc_id").alias(f"_fm{i}"))
+            agg = agg.crossJoin(F.broadcast(fm))
+            gates[i] = [F.col("doc_id") == F.col(f"_fm{i}")]
         score = None
         for i in range(len(slots)):  # slot order == FTS5 expression order
             c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
@@ -1327,6 +1366,136 @@ class SearchIndex:
             out = (agg.where(_qual_expr(node, [0], present))
                    .select("doc_id", score.alias("score")))
         out._ys_handles = handles  # type: ignore[attr-defined]
+        return out
+
+    def _include_dead(self, node, phrase_df) -> bool:
+        """Is a NOT node's include side DEAD in FTS5's doclist sense —
+        no doc satisfies it with positional constraints IGNORED?
+        (Probed: a phrase whose terms co-occur non-adjacently, or a NEAR
+        whose members co-occur too far apart, is NOT dead.) Structural
+        shortcuts decide most cases from the already-known dfs; the
+        ambiguous ones (multi-term sets whose joint intersection is
+        unknown) run one tiny limit(1) existence job over the cached
+        decoded term frames, memoized per subtree."""
+        def tri(n):
+            if isinstance(n, PrefixNode):
+                return phrase_df.get(n, 0) == 0
+            if isinstance(n, Phrase):
+                if phrase_df.get(n, 0) > 0:
+                    return False      # matches ⊆ co-occurrence
+                if len(n.terms) == 1:
+                    return True       # df == 0
+                stats = self.term_stats_for(sorted(set(n.terms)))
+                if any(t not in stats for t in n.terms):
+                    return True       # an OOV constituent
+                return None           # joint intersection unknown
+            if isinstance(n, Near):
+                kids = [tri(p) for p in n.phrases]
+                if any(k is True for k in kids):
+                    return True
+                return None
+            if isinstance(n, And):
+                kids = [tri(c) for c in n.children]
+                if any(k is True for k in kids):
+                    return True
+                return None
+            if isinstance(n, Or):
+                kids = [tri(c) for c in n.children]
+                if all(k is True for k in kids):
+                    return True
+                if any(k is False for k in kids):
+                    return False
+                return None
+            if isinstance(n, Not):
+                if tri(n.include) is True:
+                    return True
+                return None
+            return None
+
+        t = tri(node)
+        if t is not None:
+            return t
+        key = ("deadinc", node)
+        hit = self._df_count_cache.get(key)
+        if hit is not None:
+            return hit
+
+        def doc_set(n) -> DataFrame:
+            if isinstance(n, Phrase):
+                out = None
+                for term in sorted(set(n.terms)):
+                    d = (self._decoded_for_term(term).select("doc_id")
+                         if term in self.term_stats_for([term])
+                         else self._empty_match().select("doc_id"))
+                    out = d if out is None else out.join(d, "doc_id")
+                return out
+            if isinstance(n, PrefixNode):
+                return self._decoded_for_prefix(n.prefix) \
+                    .select("doc_id").dropDuplicates()
+            if isinstance(n, Near):
+                out = None
+                for p in n.phrases:
+                    d = doc_set(p)
+                    out = d if out is None else out.join(d, "doc_id")
+                return out
+            if isinstance(n, And):
+                out = None
+                for c in n.children:
+                    d = doc_set(c)
+                    out = d if out is None else out.join(d, "doc_id")
+                return out
+            if isinstance(n, Or):
+                out = None
+                for c in n.children:
+                    d = doc_set(c)
+                    out = d if out is None else out.unionByName(d)
+                return out
+            if isinstance(n, Not):
+                return doc_set(n.include).join(doc_set(n.exclude),
+                                               "doc_id", "left_anti")
+            raise ValueError(f"unknown node {n!r}")
+
+        dead = doc_set(node).limit(1).count() == 0
+        if self._cache_postings:
+            self._df_count_cache[key] = dead
+        return dead
+
+    def _dead_not_quirk_slots(self, root, phrase_tables,
+                              phrase_df) -> dict[int, DataFrame]:
+        """slot id → match table for exclude slots leaking their first
+        posting (see the call-site comment in _match_scores_build).
+        Numbering mirrors _collect_slots; replication scope: the exclude
+        subtree must be built of Phrase/Prefix atoms combined with OR
+        (probe-verified shapes) — anything else gets no leak."""
+        out: dict[int, DataFrame] = {}
+
+        def simple_exclude(n) -> bool:
+            if isinstance(n, (Phrase, PrefixNode)):
+                return True
+            if isinstance(n, Or):
+                return all(simple_exclude(c) for c in n.children)
+            return False
+
+        def walk(n, counter, leak):
+            if n is None:
+                return
+            if isinstance(n, (Phrase, PrefixNode)):
+                if leak:
+                    out[counter[0]] = phrase_tables[n]
+                counter[0] += 1
+            elif isinstance(n, Near):
+                counter[0] += len(n.phrases)
+            elif isinstance(n, (And, Or)):
+                for c in n.children:
+                    walk(c, counter, leak)
+            elif isinstance(n, Not):
+                walk(n.include, counter, leak)
+                exc_leak = (not leak
+                            and simple_exclude(n.exclude)
+                            and self._include_dead(n.include, phrase_df))
+                walk(n.exclude, counter, exc_leak)
+
+        walk(root, [0], False)
         return out
 
     def search(self, query, k: int = 10, filters: dict | None = None,
