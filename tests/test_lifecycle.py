@@ -25,35 +25,62 @@ QUERIES = ["data", "data AND process", '"data process"', "comput*",
            "error OR fail"]
 
 
-def test_auto_compaction_triggers_and_serving_identical(spark, tmp_path):
-    """Hitting the segment-count threshold compacts in place: segments
-    drain to zero, the epoch keeps rising, and a twin index built from
-    the full corpus in one shot scores identically (1e-9)."""
+def test_auto_compaction_merges_smallest_and_serving_identical(spark,
+                                                               tmp_path):
+    """Round 5: hitting the segment-count threshold runs a TIERED merge
+    (the smallest segments fold into one; the base index is untouched
+    and doc_ids are preserved) — never an implicit full rewrite. The
+    epoch keeps rising and serving stays score-identical (1e-9) to a
+    one-shot twin."""
+    from yetisearch_spark.streaming import GlobalSegmentedIndex
+
     pdf = generate_transcripts(800, seed=61)
     pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     chunks = [pdf.iloc[:500]] + [pdf.iloc[500 + i * 100: 600 + i * 100]
                                  for i in range(3)]
     out = str(tmp_path / "auto_idx")
     build_index(spark, spark.createDataFrame(chunks[0]), out, num_buckets=8)
+    base_manifest_mtime = None
+    import os
     epochs = [index_epoch(out)]
+    ids_before_merge = None
     for i, chunk in enumerate(chunks[1:]):
         append_segment(spark, out, spark.createDataFrame(chunk), epoch=i,
                        auto_compact_segments=3)
         epochs.append(index_epoch(out))
-    # 2 appends stay segments; the 3rd hits the threshold and compacts
-    assert list_segments(out) == []
+        if i == 1:  # two segments committed, about to trigger on the 3rd
+            live = GlobalSegmentedIndex(spark, out, cache_docs=False,
+                                        cache_postings=False)
+            ids_before_merge = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+                                for r in live._docs.collect()}
+            live.close()
+    # the 3rd append triggers the tiered merge: 3 segments → 2 (the two
+    # smallest merged), base untouched
+    assert len(list_segments(out)) == 2
     assert epochs == sorted(epochs) and len(set(epochs)) == len(epochs)
+    assert os.path.isdir(os.path.join(out, "postings"))  # base intact
+
+    live = GlobalSegmentedIndex(spark, out, cache_docs=False,
+                                cache_postings=False)
+    # doc_ids preserved across the merge for every doc present before it
+    ids_after = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+                 for r in live._docs.collect()}
+    for key, did in ids_before_merge.items():
+        assert ids_after[key] == did, key
 
     twin = str(tmp_path / "twin_idx")
     build_index(spark, spark.createDataFrame(pdf), twin, num_buckets=8)
-    a = SearchIndex(spark, out)
     b = SearchIndex(spark, twin)
-    pa, pb = _pages(a, QUERIES), _pages(b, QUERIES)
     for q in QUERIES:
-        assert set(pa[q]) == set(pb[q]), q
-        for d in pa[q]:
-            assert pa[q][d] == pytest.approx(pb[q][d], rel=1e-9), (q, d)
-    a.close()
+        a_rows = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
+                  live.search(q, k=20, with_docs=True).collect()}
+        b_rows = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
+                  b.search(q, k=20, with_docs=True).collect()}
+        assert set(a_rows) == set(b_rows), q
+        for key in a_rows:
+            assert a_rows[key] == pytest.approx(b_rows[key], rel=1e-9), \
+                (q, key)
+    live.close()
     b.close()
 
 
@@ -218,9 +245,21 @@ def test_engine_serves_across_auto_compaction(spark, tmp_path):
         chunk = pdf.iloc[400 + i * 100: 500 + i * 100]
         append_segment(spark, out, spark.createDataFrame(chunk), epoch=i,
                        auto_compact_segments=3)
-    assert list_segments(out) == []       # compaction fired
+    # round 5: the auto trigger is a TIERED merge (2 segments remain) —
+    # the engine must serve correctly across the out-of-band segment swap
+    assert len(list_segments(out)) == 2
+    mid = eng.search("m", SearchQuery(query="data", limit=5))
+    assert eng.get_stats("m")["document_count"] == 700
+    # explicit optimize (S9) still does the full in-place rewrite; the
+    # engine must then swap to a fresh SearchIndex over the new files
+    compact_in_place(spark, out)
+    assert list_segments(out) == []
     after = eng.search("m", SearchQuery(query="data", limit=5))
     assert eng.get_stats("m")["document_count"] == 700
+    assert [(r["document"]["conv_id"], r["document"]["turn_idx"], r["score"])
+            for r in mid["results"]] == \
+           [(r["document"]["conv_id"], r["document"]["turn_idx"], r["score"])
+            for r in after["results"]]
     # twin built in one shot must agree on the page
     twin_dir = str(tmp_path / "eng_twin")
     build_index(spark, spark.createDataFrame(pdf), twin_dir, num_buckets=8)
@@ -272,9 +311,10 @@ def test_verify_index_reports_corrupt_manifest(spark, tmp_path):
 
 
 def test_compaction_preserves_build_config(spark, tmp_path):
-    """A custom block_size must survive its own compaction (WAND block
-    geometry) — compact() forwards the full build config."""
+    """A custom block_size must survive compaction AND tiered merges
+    (WAND block geometry) — both forward the full build config."""
     from yetisearch_spark.build import load_manifest
+    from yetisearch_spark.streaming import segment_dir
 
     pdf = generate_transcripts(400, seed=69)
     out = str(tmp_path / "cfg_idx")
@@ -285,6 +325,13 @@ def test_compaction_preserves_build_config(spark, tmp_path):
                        spark.createDataFrame(pdf.iloc[300 + i * 50:
                                                       350 + i * 50]),
                        epoch=i, auto_compact_segments=2)
+    # round 5: the auto trigger merges the two segments into one
+    segs = list_segments(out)
+    assert len(segs) == 1
+    mcfg = load_manifest(segment_dir(out, segs[0])).get("config", {})
+    assert int(mcfg.get("block_size")) == 32
+    assert int(mcfg.get("num_salts")) == 4
+    compact_in_place(spark, out)
     assert list_segments(out) == []
     cfg = load_manifest(out).get("config", {})
     assert int(cfg.get("block_size")) == 32

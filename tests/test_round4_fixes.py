@@ -22,12 +22,13 @@ def two_indexes(spark, tmp_path_factory):
     return dirs
 
 
-def test_wand_routes_tombstoned_views_to_exact_path(spark, tmp_path):
-    """Block-max selection bounds assume every block's max score is
-    attained by a VISIBLE doc; tombstones break that (theta can
-    overestimate and prune a block holding the true top-k). A tombstoned
-    serving view must serve the exact path — even when the cost gate is
-    forced open — and stay result-identical to index.search."""
+def test_pruned_equals_exact_under_tombstones(spark, tmp_path):
+    """Round 5 (replacing the round-4 exact-path forcing): a tombstoned
+    serving view keeps the PRUNED tier — per-block maxima are recomputed
+    over surviving docs (blocks named by the victims' own tokens, bounded
+    by deleted postings), phase 2 filters the delete vector, and df comes
+    from the deleted-df deltas — so pruned == exact at 1e-9 with the top
+    former winners deleted (exactly the case that breaks naive bounds)."""
     from yetisearch_spark.query import SearchIndex
     from yetisearch_spark.streaming import GlobalSegmentedIndex, delete_docs
     from yetisearch_spark.wand import pruned_topk
@@ -36,19 +37,82 @@ def test_wand_routes_tombstoned_views_to_exact_path(spark, tmp_path):
     pdf = generate_transcripts(400, seed=37)
     build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8)
     base = SearchIndex(spark, out)
+    # delete the CURRENT top hits — their norms are the stored block
+    # maxima, so stale bounds would overestimate theta and over-prune
     victims = [r["doc_id"] for r in base.search("search", k=3).collect()]
     base.close()
     delete_docs(spark, out, victims)
 
     live = GlobalSegmentedIndex(spark, out)
-    got = pruned_topk(live, "search", k=10, gate_blocks=0)
-    stats = getattr(got, "_pruning_stats", None)
-    assert stats is not None and stats.get("gated") \
-        and stats.get("reason") == "tombstones"
-    rows = [r["doc_id"] for r in got.collect()]
-    exact = [r["doc_id"] for r in live.search("search", k=10).collect()]
-    assert rows == exact
-    assert not set(victims) & set(rows)
+    for q in ["search", "search OR data", "search AND data"]:
+        got = pruned_topk(live, q, k=10, gate_blocks=0)
+        stats = getattr(got, "_pruning_stats", None)
+        assert not (stats or {}).get("gated"), (q, stats)
+        rows = [(r["doc_id"], round(r["score"], 9)) for r in got.collect()]
+        exact = [(r["doc_id"], round(r["score"], 9))
+                 for r in live.search(q, k=10).collect()]
+        assert rows == exact, q
+        assert not set(victims) & {d for d, _ in rows}
+    live.close()
+
+
+def test_pruned_under_tombstones_dead_block(spark, tmp_path):
+    """Every doc of some block deleted: the override must zero that
+    block's bounds (its stored max is attained only by hidden docs) and
+    results must still match the exact path."""
+    from yetisearch_spark.query import SearchIndex
+    from yetisearch_spark.streaming import GlobalSegmentedIndex, delete_docs
+    from yetisearch_spark.wand import pruned_topk
+
+    out = str(tmp_path / "wand_dead_block")
+    pdf = generate_transcripts(400, seed=38)
+    # tiny blocks → a whole block's docs are easy to delete
+    build_index(spark, spark.createDataFrame(pdf), out, num_buckets=8,
+                block_size=4)
+    base = SearchIndex(spark, out)
+    hits = sorted(r["doc_id"] for r in base.search("data", k=400).collect())
+    base.close()
+    delete_docs(spark, out, hits[:8])  # first two blocks' worth of matches
+
+    live = GlobalSegmentedIndex(spark, out)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in pruned_topk(live, "data", k=10,
+                                gate_blocks=0).collect()]
+    exact = [(r["doc_id"], round(r["score"], 9))
+             for r in live.search("data", k=10).collect()]
+    assert got == exact
+    live.close()
+
+
+def test_pruned_sound_under_avgdl_drift(spark, tmp_path):
+    """Stored block maxima were computed at each part's BUILD avgdl; a
+    segmented view serves at the UNION avgdl. The [lb, ub] scaling in
+    _block_meta must keep pruning exact when a segment shifts avgdl hard
+    (short-doc base + long-doc segment here)."""
+    import pandas as pd
+
+    from yetisearch_spark.streaming import GlobalSegmentedIndex, append_segment
+    from yetisearch_spark.wand import pruned_topk
+
+    out = str(tmp_path / "wand_avgdl_drift")
+    base_pdf = generate_transcripts(300, seed=39)
+    base_pdf["text"] = base_pdf["text"].str.split().str[:4].str.join(" ") \
+        + " zzdrift"
+    build_index(spark, spark.createDataFrame(base_pdf), out, num_buckets=8,
+                block_size=8)
+    seg_pdf = generate_transcripts(300, seed=40)
+    seg_pdf["conv_id"] = seg_pdf["conv_id"] + "_seg"
+    seg_pdf["text"] = (seg_pdf["text"] + " ") * 6 + "zzdrift"
+    append_segment(spark, out, spark.createDataFrame(seg_pdf), epoch=0,
+                   auto_compact_segments=None)
+
+    live = GlobalSegmentedIndex(spark, out)
+    for q in ["zzdrift", "zzdrift OR data"]:
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in pruned_topk(live, q, k=10, gate_blocks=0).collect()]
+        exact = [(r["doc_id"], round(r["score"], 9))
+                 for r in live.search(q, k=10).collect()]
+        assert got == exact, q
     live.close()
 
 

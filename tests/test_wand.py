@@ -132,16 +132,19 @@ def test_spark_selection_prunes_synthetic_head_term(spark):
                     F.lit(128).alias("n_docs"),
                     (F.pmod(F.xxhash64(F.col("id")), F.lit(100_000))
                      .cast("double") / 100_000.0 * 2.2)
-                    .alias("block_max_norm")))
+                    .alias("bmax")))
+    meta = meta.select("term", "min_doc", "max_doc", "n_docs",
+                       F.col("bmax").alias("bmax_lb"),
+                       F.col("bmax").alias("bmax_ub"))
     full_terms, sel = _spark_select(meta, ["head"], {"head": 1.0},
                                     {"head": n_blocks}, "single", k=10)
     assert full_terms == []
     n_sel = sel.count()
     assert 10 <= n_sel < n_blocks // 100  # pruned >99% of blocks
-    # exactness of the rule: selected == blocks with bm >= 10th largest
-    top10 = (meta.orderBy(F.desc("block_max_norm")).limit(10)
-             .agg(F.min("block_max_norm")).collect()[0][0])
-    want = meta.where(F.col("block_max_norm") >= top10).count()
+    # exactness of the rule: selected == blocks with ub >= 10th largest lb
+    top10 = (meta.orderBy(F.desc("bmax_lb")).limit(10)
+             .agg(F.min("bmax_lb")).collect()[0][0])
+    want = meta.where(F.col("bmax_ub") >= top10).count()
     assert n_sel == want
 
 

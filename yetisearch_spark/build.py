@@ -117,11 +117,14 @@ def parquet_row_count(path: str) -> int:
 def load_docs(spark: SparkSession, out_dir: str,
               manifest: dict | None = None) -> DataFrame:
     """Docs table with the doc_id column materialized as a Catalyst
-    expression over the staged (_pid, _ord) ordinals (see docids.py)."""
+    expression over the staged (_pid, _ord) ordinals (see docids.py).
+    Preserved-id builds (segment merges) store doc_id directly."""
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    if "doc_id" in docs.columns:
+        return docs
     manifest = manifest or load_manifest(out_dir)
     offsets = {int(k): int(v) for k, v in
                manifest["stages"]["docs"]["counters"]["doc_offsets"].items()}
-    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     return docs.withColumn("doc_id", doc_id_expr(offsets)).drop("_pid", "_ord")
 
 
@@ -271,6 +274,7 @@ def build_index(
     language: str = "english",
     fields: list[str] | None = None,
     doc_id_base: int = 0,
+    preserve_doc_ids: bool = False,
     resume: bool = True,
 ) -> dict:
     """Build the full index; returns the manifest. Resumable per stage.
@@ -287,7 +291,13 @@ def build_index(
     ``doc_id_base`` shifts the whole doc_id space (docs AND posting
     blobs AND block min/max metadata) — used by streaming segments so a
     segment's ids never collide with the base index
-    (reference upsert model: src/Storage/SqliteStorage.php:359-763)."""
+    (reference upsert model: src/Storage/SqliteStorage.php:359-763).
+
+    ``preserve_doc_ids``: the transcripts carry their own ``doc_id``
+    column which is stored verbatim (no reassignment) — used by tiered
+    segment merges so callers' doc_ids and tombstones survive the merge.
+    Docs are range-partitioned and sorted by doc_id so each split stays
+    an ascending id run for the posting kernel."""
     fields = list(fields or ["text"])
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir) if resume else {"stages": {}, "lineage": {}, "config": {}}
@@ -310,16 +320,32 @@ def build_index(
     # Catalyst expression over the staged (_pid, _ord) columns) -------------
     if not _stage_done(manifest, "docs"):
         t0 = time.time()
-        analyze_udf = make_analyze_udf(language)
-        staged = with_partition_ordinals(transcripts, ["conv_id", "turn_idx"],
-                                         shuffle_partitions)
-        if len(fields) == 1:
+        if preserve_doc_ids:
+            assert "doc_id" in transcripts.columns, \
+                "preserve_doc_ids needs a doc_id column"
+            # ascending-id runs per split for the posting kernel; ids are
+            # stored verbatim, never reassigned
+            staged = (transcripts
+                      .repartitionByRange(shuffle_partitions, "doc_id")
+                      .sortWithinPartitions("doc_id"))
+        else:
+            staged = with_partition_ordinals(transcripts,
+                                             ["conv_id", "turn_idx"],
+                                             shuffle_partitions)
+        if preserve_doc_ids and "tokens" in staged.columns:
+            # segment-merge input: rows come from existing part docs whose
+            # tokens were produced by the SAME analyzer config (merge
+            # inherits the base config) — skip re-analysis
+            docs = staged
+        elif len(fields) == 1:
+            analyze_udf = make_analyze_udf(language)
             docs = (
                 staged
                 .withColumn("tokens", analyze_udf(F.col(fields[0])))
                 .withColumn("doc_len", F.size("tokens"))
             )
         else:
+            analyze_udf = make_analyze_udf(language)
             tok_cols = [f"_tok{i}" for i in range(len(fields))]
             docs = staged
             for c, f in zip(tok_cols, fields):
@@ -332,15 +358,23 @@ def build_index(
                     .withColumn("doc_len", F.size("tokens"))
                     .drop(*tok_cols))
         docs.write.mode("overwrite").parquet(docs_path)
-        offsets, n_docs = partition_offsets(spark.read.parquet(docs_path))
-        # the shifted offsets are the single source of truth: every doc_id
-        # downstream (docs view, posting blobs, block min/max) derives from
-        # them, so segment and base id spaces can never disagree
-        offsets = {k: v + doc_id_base for k, v in offsets.items()}
-        _commit_stage(out_dir, manifest, "docs",
-                      {"docs": n_docs,
-                       "doc_offsets": {str(k): v for k, v in offsets.items()}},
-                      time.time() - t0)
+        if preserve_doc_ids:
+            _commit_stage(out_dir, manifest, "docs",
+                          {"docs": parquet_row_count(docs_path),
+                           "doc_ids": "stored"},
+                          time.time() - t0)
+        else:
+            offsets, n_docs = partition_offsets(spark.read.parquet(docs_path))
+            # the shifted offsets are the single source of truth: every
+            # doc_id downstream (docs view, posting blobs, block min/max)
+            # derives from them, so segment and base id spaces can never
+            # disagree
+            offsets = {k: v + doc_id_base for k, v in offsets.items()}
+            _commit_stage(out_dir, manifest, "docs",
+                          {"docs": n_docs,
+                           "doc_offsets": {str(k): v
+                                           for k, v in offsets.items()}},
+                          time.time() - t0)
 
     docs_df = load_docs(spark, out_dir, manifest)
 

@@ -140,13 +140,14 @@ def pruned_scored(index: SearchIndex, node, k: int,
     if not ok:
         info["reason"] = "shape"
         return None, info
-    if getattr(index, "_tomb", None) is not None:
-        # Deleted docs make the score-bound selection unsound: block-max
-        # scores may be attained by tombstoned (hidden) docs, so theta
-        # overestimates and a block holding the true top-k can be pruned.
-        # A tombstoned view therefore serves the exact path until
-        # compaction clears the delete vector (append-only segmented
-        # views have _tomb=None and keep the pruned path).
+    if (getattr(index, "_tomb", None) is not None
+            and not hasattr(index, "_wand_block_overrides")):
+        # A tombstoned view needs delete-aware bounds: stored block
+        # maxima may be attained by hidden docs (θ would overestimate
+        # and prune a block holding the true top-k). The serving view
+        # (GlobalSegmentedIndex) provides recomputed per-block maxima
+        # via _wand_block_overrides + delete-exact phase-2 filtering;
+        # any other tombstoned index routes to the exact path.
         info["reason"] = "tombstones"
         return None, info
     if len(set(terms)) != len(terms):
@@ -173,10 +174,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
         return None, info
 
     buckets = index._buckets_for_terms(terms)
-    meta = (index._postings
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(terms))
-            .select("term", "min_doc", "max_doc", "n_docs", "block_max_norm"))
+    meta = index._block_meta(buckets, terms)
 
     prune_stats = None
     sel_by_term = None
@@ -358,7 +356,8 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
         fresh: dict[str, list] = {t: [] for t in missing}
         for r in rows:
             fresh[r["term"]].append((r["min_doc"], r["max_doc"],
-                                     r["n_docs"], r["block_max_norm"]))
+                                     r["n_docs"], r["bmax_ub"],
+                                     r["bmax_lb"]))
         if cache is not None:
             cache.update(fresh)
             while len(cache) > 4096:  # bound driver memory
@@ -375,18 +374,17 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
 
     selected: dict[str, set] = {t: set() for t in terms}
 
+    # block tuples are (min_doc, max_doc, n_docs, ub, lb): lb is ATTAINED
+    # by a visible doc (→ θ), ub bounds every visible doc (→ pruning)
     if shape == "single":
+        # θ = k-th largest attained bound: the k lb-attaining blocks hold
+        # ≥ k distinct docs (blocks of one term partition its docs), each
+        # scoring ≥ θ·idf; a block with ub < θ cannot hold a top-k doc.
         t = terms[0]
-        blocks = sorted(by_term[t], key=lambda b: -b[3])
-        have = 0
-        ubs = [b[3] for b in blocks]
-        for i, b in enumerate(blocks):
-            selected[t].add((b[0], b[1]))
-            have += b[2]
-            next_ub = ubs[i + 1] if i + 1 < len(blocks) else 0.0
-            if have >= k and next_ub * idf[t] < _kth_lower_bound_single(
-                    blocks[: i + 1], idf[t], k):
-                break
+        blocks = by_term[t]
+        lbs = sorted((b[4] for b in blocks), reverse=True)
+        theta = lbs[k - 1] if len(lbs) >= k else 0.0
+        selected[t] = {(b[0], b[1]) for b in blocks if b[3] >= theta}
     elif shape == "and":
         rare = min(terms, key=lambda t: stats.get(t, (0, 0))[0])
         rare_ranges = [(b[0], b[1]) for b in by_term[rare]]
@@ -397,35 +395,26 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
         for t in terms:
             if t == rare:
                 continue
-            for (mn, mx, nd, bm) in by_term[t]:
+            for (mn, mx, nd, ub, lb) in by_term[t]:
                 # overlap with any rare block range?
                 j = np.searchsorted(rmins, mx, side="right")
                 if j > 0 and rmaxs[:j].max(initial=-1) >= mn:
                     selected[t].add((mn, mx))
     else:  # or — WAND sum-threshold, exact
-        # θ = guaranteed k-th best score. Each selected block of one term
-        # yields a DISTINCT doc scoring ≥ idf·block_max (blocks of a term
-        # partition its docs); across T terms a doc may account for ≤ T
-        # such bounds, so the (k·T)-th largest selected bound is a certain
-        # k-th-doc lower bound.
-        all_blocks = [(idf[t] * b[3], t, b) for t in terms for b in by_term[t]]
-        all_blocks.sort(key=lambda x: -x[0])
+        # θ = guaranteed k-th best score. Each block of one term yields a
+        # DISTINCT doc scoring ≥ idf·lb (blocks of a term partition its
+        # docs and lb is attained by a visible doc); across T terms a doc
+        # may account for ≤ T such bounds, so the (k·T)-th largest lb
+        # overall is a certain k-th-doc lower bound. A doc whose every
+        # block has ub < θ/T scores < θ ≤ s_k and can be dropped.
         T = len(terms)
-        selected_ubs: list[float] = []
-        remaining_max = {t: 0.0 for t in terms}
-        for i, (ub, t, b) in enumerate(all_blocks):
-            remaining_max[t] = max(remaining_max[t], ub)
-        theta = 0.0
-        for ub, t, b in all_blocks:
-            # stop when no unselected doc can beat θ: its score ≤ Σ_t
-            # max-unselected-ub_t (all remaining blocks have ub ≤ current)
-            if len(selected_ubs) >= k * T and sum(remaining_max.values()) < theta:
-                break
-            selected[t].add((b[0], b[1]))
-            selected_ubs.append(ub)
-            remaining_max[t] = ub
-            if len(selected_ubs) >= k * T:
-                theta = selected_ubs[k * T - 1]
+        all_lb = sorted((idf[t] * b[4] for t in terms for b in by_term[t]),
+                        reverse=True)
+        theta = all_lb[k * T - 1] if len(all_lb) >= k * T else 0.0
+        for t in terms:
+            for b in by_term[t]:
+                if theta == 0.0 or idf[t] * b[3] >= theta / T:
+                    selected[t].add((b[0], b[1]))
         # docs with one selected + one unselected block: pull in unselected
         # blocks overlapping any selected range so their sums stay exact
         sel_ranges = sorted({r for t in terms for r in selected[t]})
@@ -434,7 +423,7 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
             smaxs = np.array([b for _, b in sel_ranges], dtype=np.int64)
             run_max = np.maximum.accumulate(smaxs)
             for t in terms:
-                for (mn, mx, nd, bm) in by_term[t]:
+                for (mn, mx, nd, ub, lb) in by_term[t]:
                     if (mn, mx) in selected[t]:
                         continue
                     j = np.searchsorted(smins, mx, side="right")
@@ -465,13 +454,14 @@ def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k):
     joined back as 1-row broadcast frames."""
     T = len(terms)
     if shape == "single":
-        theta = (meta.select("block_max_norm")
-                 .orderBy(F.desc("block_max_norm")).limit(k)
-                 .agg(F.min("block_max_norm").alias("theta"),
+        # θ from the top-k ATTAINED bounds (lb); prune on ub ≥ θ
+        theta = (meta.select("bmax_lb")
+                 .orderBy(F.desc("bmax_lb")).limit(k)
+                 .agg(F.min("bmax_lb").alias("theta"),
                       F.count(F.lit(1)).alias("n")))
         sel = (meta.crossJoin(F.broadcast(theta))
                .where((F.col("n") < k)
-                      | (F.col("block_max_norm") >= F.col("theta")))
+                      | (F.col("bmax_ub") >= F.col("theta")))
                .select("term", "min_doc"))
         return [], sel
 
@@ -493,12 +483,15 @@ def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k):
         return [rare], others
 
     # shape == "or"
-    ub = F.when(F.col("term") == terms[0], F.lit(idf[terms[0]]))
+    idf_e = F.when(F.col("term") == terms[0], F.lit(idf[terms[0]]))
     for t in terms[1:]:
-        ub = ub.when(F.col("term") == t, F.lit(idf[t]))
-    scored = meta.withColumn("ub", ub * F.col("block_max_norm"))
-    theta = (scored.select("ub").orderBy(F.desc("ub")).limit(k * T)
-             .agg(F.min("ub").alias("theta"), F.count(F.lit(1)).alias("n")))
+        idf_e = idf_e.when(F.col("term") == t, F.lit(idf[t]))
+    scored = (meta.withColumn("ub", idf_e * F.col("bmax_ub"))
+              .withColumn("lb", idf_e * F.col("bmax_lb")))
+    # θ = (k·T)-th largest ATTAINED bound; prune docs whose every block
+    # has ub < θ/T (see _driver_select's or-rule for the soundness note)
+    theta = (scored.select("lb").orderBy(F.desc("lb")).limit(k * T)
+             .agg(F.min("lb").alias("theta"), F.count(F.lit(1)).alias("n")))
     s0 = (scored.crossJoin(F.broadcast(theta))
           .where((F.col("n") < k * T)
                  | (F.col("ub") >= F.col("theta") / F.lit(float(T)))))
@@ -514,11 +507,3 @@ def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k):
     return [], sel
 
 
-def _kth_lower_bound_single(blocks, idf: float, k: int) -> float:
-    """Guaranteed k-th best score among selected blocks: every block holds
-    ≥1 doc scoring idf·block_max (the max is attained), so the k best
-    block maxima are certain scores."""
-    maxima = sorted((b[3] for b in blocks), reverse=True)
-    if len(maxima) < k:
-        return 0.0
-    return idf * maxima[k - 1]
