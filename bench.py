@@ -229,7 +229,12 @@ def main() -> None:
     # default 1M-turn corpus the default gate picks pruning here anyway;
     # the standard engine_pruned_and leg above measures the gate routing)
     skew_queries = {"wand_skew_single": "zzhead",
-                    "wand_skew_and": "zzhead AND zzrare"}
+                    "wand_skew_and": "zzhead AND zzrare",
+                    # round 5: phrase/NEAR prune on the rarest
+                    # constituent's blocks — the exact path must decode
+                    # the 1M-posting head term WITH positions
+                    "wand_skew_phrase": '"zzhead zzrare"',
+                    "wand_skew_near": 'NEAR("zzrare" "zzhead", 3)'}
     for name, q in skew_queries.items():
         timings[f"{name}_exact"] = round(_cold_median(
             lambda ix, q=q: ix.search(q, k=10)), 4)

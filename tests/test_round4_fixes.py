@@ -44,7 +44,8 @@ def test_pruned_equals_exact_under_tombstones(spark, tmp_path):
     delete_docs(spark, out, victims)
 
     live = GlobalSegmentedIndex(spark, out)
-    for q in ["search", "search OR data", "search AND data"]:
+    for q in ["search", "search OR data", "search AND data",
+              '"search data"', 'NEAR("search" "data", 10)']:
         got = pruned_topk(live, q, k=10, gate_blocks=0)
         stats = getattr(got, "_pruning_stats", None)
         assert not (stats or {}).get("gated"), (q, stats)

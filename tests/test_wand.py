@@ -68,14 +68,35 @@ def test_or_identical(index):
     assert got == want
 
 
-def test_fallback_for_phrase(index):
+def test_phrase_pruned_identical(index):
+    """Round 5: multi-term phrases prune on the AND rule over their
+    constituents (candidates hold every constituent; block-complete
+    positions make phase 2 exact) instead of falling back."""
     terms, _ = _common_terms(index)
-    q = f'"{terms[0]} {terms[1]}"'
+    for q in [f'"{terms[0]} {terms[1]}"', f'"{terms[1]} {terms[0]}"']:
+        got, stats = _pruned(index, q)
+        want = _exact(index, q)
+        assert got == want, q
+        assert stats is not None and "blocks_decoded" in stats, (q, stats)
+        assert stats["blocks_decoded"] <= stats["blocks_total"]
+
+
+def test_near_pruned_identical(index):
+    terms, _ = _common_terms(index)
+    for q in [f'NEAR("{terms[0]}" "{terms[1]}", 10)',
+              f'NEAR("{terms[0]}" "{terms[2]}" "{terms[3]}", 8)']:
+        got, stats = _pruned(index, q)
+        want = _exact(index, q)
+        assert got == want, q
+
+
+def test_fallback_for_unsupported_shape(index):
+    terms, _ = _common_terms(index)
+    # NOT and mixed nests stay on the exact path
+    q = f'"{terms[0]}" NOT "{terms[1]}"'
     got, stats = _pruned(index, q)
     want = _exact(index, q)
     assert got == want
-    # fell back to exact path (round 5: the fallback carries a routing
-    # marker instead of None)
     assert stats["gated"] and stats["reason"] == "shape"
 
 

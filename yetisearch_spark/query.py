@@ -480,18 +480,41 @@ class SearchIndex:
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._handle_groups: list[list[DataFrame]] = []
 
-    def warm(self) -> dict:
+    def warm(self, top_df_terms: int = 64) -> dict:
         """Replica bootstrap: materialize the pinned doc store before
         taking traffic (the reference opens and mmaps its SQLite file at
         construction, too). Without this, the first query that joins
         documents — typically the first fuzzy/boosted page — pays the
         full doc-store cache fill inside its own latency. Also loads the
         term dictionary (small-vocab fast path), so the first query's
-        planning runs zero stats jobs. Returns {"docs": n} (0 when the
-        doc store is not pinned)."""
+        planning runs zero stats jobs.
+
+        ``top_df_terms``: additionally pre-fill the decoded-postings
+        cache (light, position-free variant) for the N highest-df terms —
+        cold fills are linear in df, so the head terms ARE the expensive
+        ones; filling them at bootstrap moves that cost out of first-
+        query latency (round-5 order: the sf1 cold total was dominated by
+        head-term decode fills). One materializing action over the union
+        of the promoted frames. 0 disables. Returns {"docs": n,
+        "warmed_terms": k}."""
         n = self._docs.count() if self._docs_cached else 0
         self.term_stats_for(["_warm_probe"])   # triggers the vocab load
-        return {"docs": int(n)}
+        warmed = 0
+        if top_df_terms and self._cache_postings:
+            rows = (self._term_stats.orderBy(F.desc("df"))
+                    .limit(top_df_terms).select("term").collect())
+            promoted = []
+            for r in rows:
+                self._decoded_for_term(r["term"], with_positions=False)
+                promoted.append(
+                    self._decoded_for_term(r["term"], with_positions=False))
+            if promoted:
+                out = promoted[0]
+                for p in promoted[1:]:
+                    out = out.unionByName(p)
+                out.count()   # ONE action materializes every pinned frame
+            warmed = len(promoted)
+        return {"docs": int(n), "warmed_terms": warmed}
 
     def close(self) -> None:
         """Unpersist every cached frame this index pinned."""
@@ -750,7 +773,8 @@ class SearchIndex:
     #: docs (tighter than BROADCAST_DF_CAP — positions make rows fatter)
     PHRASE_BCAST_DF_CAP = 1_000_000
 
-    def _phrase_match(self, phrase: Phrase) -> DataFrame:
+    def _phrase_match(self, phrase: Phrase,
+                      frames: dict | None = None) -> DataFrame:
         """→ (doc_id, tf, doc_len, positions=phrase instance starts).
 
         Plan shape (FTS5 rides its doclist intersection here, reference:
@@ -762,7 +786,15 @@ class SearchIndex:
         S₀ = positions₀, Sᵢ = array_intersect(Sᵢ₋₁, positionsᵢ − i).
         No Python kernel in this path. Falls back to the one-shuffle
         union+groupBy shape only when ≥2 constituent terms exceed the
-        broadcast cap (at that density there is no cheap side to build)."""
+        broadcast cap (at that density there is no cheap side to build).
+
+        ``frames``: per-term decoded frames to use instead of the cached
+        full decodes — the WAND phrase path injects block-pruned frames
+        here (wand.pruned_scored); because a candidate doc's postings for
+        one term live in exactly one block and the AND rule keeps every
+        block overlapping the rare term's ranges, the pruned frames hold
+        COMPLETE positions for every candidate, so the resulting table is
+        the exact full phrase table."""
         terms = list(phrase.terms)
         stats = self.term_stats_for(sorted(set(terms)))
         dfs = {t: stats.get(t, (0, 0))[0] for t in set(terms)}
@@ -774,7 +806,7 @@ class SearchIndex:
         # no side is ever broadcast, so the cap (and the agg fallback)
         # only applies to uncached serving.
         by_size = sorted(dfs[t] for t in terms)
-        if (not self._cache_postings and len(by_size) > 1
+        if (frames is None and not self._cache_postings and len(by_size) > 1
                 and by_size[-2] > self.PHRASE_BCAST_DF_CAP):
             return self._phrase_match_agg(phrase)
 
@@ -784,10 +816,15 @@ class SearchIndex:
         for rank, i in enumerate(order):
             t = terms[i]
             cols = ["doc_id"] + (["doc_len"] if rank == 0 else [])
-            d = (self._decoded_for_term(t)
+            d = ((frames[t] if frames is not None
+                  else self._decoded_for_term(t))
                  .select(*cols, F.col("positions").alias(f"_p{i}")))
             if joined is None:
                 joined = d
+            elif frames is not None:
+                # pruned frames: every side is block-restricted (bounded
+                # by the rare term's ranges) — plain joins, AQE sizes them
+                joined = joined.join(d, "doc_id")
             elif self._cache_postings:
                 # co-partitioned decode cache → exchange-free plain join
                 joined = joined.join(d, "doc_id")

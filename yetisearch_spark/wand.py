@@ -75,13 +75,26 @@ GATE_BLOCKS_PER_K = 200
 
 
 def _is_simple(node) -> tuple[bool, list[str], str]:
-    """(supported, terms, shape) — shape ∈ {single, and, or}."""
-    if isinstance(node, Phrase) and len(node.terms) == 1:
-        return True, [node.terms[0]], "single"
+    """(supported, terms, shape) — shape ∈ {single, and, or, phrase,
+    near}. For phrase/near, ``terms`` are the CONSTITUENT terms (the
+    AND rule prunes on them: candidates must contain every constituent;
+    positions for a candidate live in exactly one block per term, so the
+    surviving blocks carry complete position data and phase 2 is exact).
+    NEAR engages only with single-term members — their slot idfs come
+    free from term stats; multi-term members would need standalone
+    phrase-df jobs over unpruned frames."""
+    if isinstance(node, Phrase):
+        if len(node.terms) == 1:
+            return True, [node.terms[0]], "single"
+        return True, list(node.terms), "phrase"
+    from .query import Near, Or
+    if isinstance(node, Near) and all(
+            isinstance(p, Phrase) and len(p.terms) == 1
+            for p in node.phrases):
+        return True, [p.terms[0] for p in node.phrases], "near"
     if isinstance(node, And) and all(
             isinstance(c, Phrase) and len(c.terms) == 1 for c in node.children):
         return True, [c.terms[0] for c in node.children], "and"
-    from .query import Or
     if isinstance(node, Or) and all(
             isinstance(c, Phrase) and len(c.terms) == 1 for c in node.children):
         return True, [c.terms[0] for c in node.children], "or"
@@ -150,7 +163,12 @@ def pruned_scored(index: SearchIndex, node, k: int,
         # any other tombstoned index routes to the exact path.
         info["reason"] = "tombstones"
         return None, info
-    if len(set(terms)) != len(terms):
+    if shape in ("phrase", "near"):
+        # phrase/NEAR prune on UNIQUE constituents (a duplicated
+        # constituent reuses the same pruned frame; the positional
+        # kernels handle repetition exactly as the exact path does)
+        terms = list(dict.fromkeys(terms))
+    elif len(set(terms)) != len(terms):
         # duplicate phrase slots ("say OR say") score TWICE in FTS5 (and
         # in the exact path); the pruned phase-2 shapes key per term and
         # would halve them — route to the exact path
@@ -158,7 +176,8 @@ def pruned_scored(index: SearchIndex, node, k: int,
         return None, info
 
     stats = index.term_stats_for(terms)
-    if shape == "and" and any(t not in stats for t in terms):
+    if shape in ("and", "phrase", "near") \
+            and any(t not in stats for t in terms):
         return None, {"reason": "empty"}
     terms = [t for t in terms if t in stats]
     if not terms:
@@ -180,9 +199,11 @@ def pruned_scored(index: SearchIndex, node, k: int,
     sel_by_term = None
     sel_df = None
     env_range = None
+    # phrase/NEAR prune with the AND rule over their constituents
+    shape_sel = "and" if shape in ("phrase", "near") else shape
     if sum(est_blocks.values()) <= driver_cap:
         full_terms, selected, meta_counts = _driver_select(
-            meta, terms, stats, idf, shape, k, index=index)
+            meta, terms, stats, idf, shape_sel, k, index=index)
         if not selected and not full_terms:
             return None, {"reason": "empty"}
         # driver selection yields CONCRETE block keys → push them into the
@@ -198,8 +219,8 @@ def pruned_scored(index: SearchIndex, node, k: int,
         prune_stats = {"blocks_total": n_total, "blocks_decoded": n_sel}
     else:
         full_terms, sel_df = _spark_select(meta, terms, idf, est_blocks,
-                                           shape, k)
-        if shape == "and" and sel_df is not None and full_terms:
+                                           shape_sel, k)
+        if shape_sel == "and" and sel_df is not None and full_terms:
             # O(1)-row envelope of the rare term's doc ranges, pushed into
             # the other terms' scans as literal predicates — postings are
             # sorted by (term, salt, min_doc), so row-group stats skip the
@@ -222,13 +243,18 @@ def pruned_scored(index: SearchIndex, node, k: int,
     # whole scan+semi-join branch once per term; MapInPandas subtrees
     # never hit ReusedExchange)
     ISIN_CAP = 2048  # literal min_doc lists beyond this go via semi-join
+    need_pos = shape in ("phrase", "near")  # positional kernels downstream
 
     def term_frame(t: str) -> DataFrame:
         if t in full_terms:
             # keep-all-blocks terms reuse the hot per-term decoded cache
             # (the exact path's pinned frames): no re-scan, no re-decode;
-            # positions are never read on this path → the light variant
-            return index._decoded_for_term(t, with_positions=False).select(
+            # positions only when a positional kernel consumes them
+            dec = index._decoded_for_term(t, with_positions=need_pos)
+            if need_pos:
+                return dec.select("term", "doc_id", "tf", "doc_len",
+                                  "positions")
+            return dec.select(
                 "term", "doc_id", "tf", "doc_len",
                 F.lit(None).cast("array<int>").alias("positions"))
         scan = (index._postings
@@ -258,7 +284,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
             scan = scan.join(F.broadcast(sel_df.where(F.col("term") == t)),
                              ["term", "min_doc"], "left_semi")
         dec = scan.select("term", "data").mapInPandas(
-            _decode_factory(False), schema=_DECODED_SCHEMA)
+            _decode_factory(need_pos), schema=_DECODED_SCHEMA)
         if getattr(index, "_tomb", None) is not None:
             # delete-exact phase 2 (mirrors _decoded_for_term's filter)
             dec = dec.join(index._tomb.select("doc_id"), "doc_id",
@@ -273,6 +299,53 @@ def pruned_scored(index: SearchIndex, node, k: int,
     #            sum (no shuffle; mirrors the exact path's AND fast path)
     #   or     — union + ONE aggregation with the ordered fold; flat OR is
     #            trivially qualified so no slot-set is carried
+    #   phrase — the exact positional kernel (_phrase_match) over the
+    #            pruned frames; the result IS the complete phrase table
+    #            (candidates' positions are block-complete), so its count
+    #            is the exact phrase df for the slot idf AND the exact
+    #            result total
+    #   near   — member match tables from the pruned frames feed the
+    #            exact NEAR trim kernel; member idfs come free from term
+    #            stats (single-term members only — _is_simple)
+    if shape == "phrase":
+        key = ("ph", node.terms)
+        tbl = index._match_cache.get(key) if index._cache_postings else None
+        if tbl is None:
+            tbl = index._phrase_match(
+                node, frames={t: frames[t] for t in terms}).persist()
+            if index._cache_postings:
+                index._match_cache[key] = tbl
+                while len(index._match_cache) > index.DECODED_CACHE_MAX:
+                    k2, old = index._match_cache.popitem(last=False)
+                    old.unpersist()
+                    index._df_count_cache.pop(k2, None)
+            else:
+                index._register_handles([tbl])
+        df_ph = index._df_count_cache.get(key)
+        if df_ph is None:
+            df_ph = tbl.count()
+            if index._cache_postings:
+                index._df_count_cache[key] = df_ph
+        if df_ph == 0:
+            return None, {"reason": "empty"}
+        scored = tbl.select(
+            "doc_id",
+            index._contrib_expr("tf", index.idf(df_ph)).alias("score"))
+        out = scored.select("doc_id", "score")
+        return out, {"gated": False, "shape": shape, "total": int(df_ph),
+                     "count_exact": True, "prune_stats": prune_stats}
+    if shape == "near":
+        ptables = {p: frames[p.terms[0]].select("doc_id", "tf", "doc_len",
+                                                "positions")
+                   for p in set(node.phrases)}
+        ntbl = index._near_table(node, ptables)
+        score = None
+        for m, p in enumerate(node.phrases):
+            c = index._contrib_expr(f"tf_{m}", idf[p.terms[0]])
+            score = c if score is None else score + c
+        out = ntbl.select("doc_id", score.alias("score"))
+        return out, {"gated": False, "shape": shape,
+                     "count_exact": True, "prune_stats": prune_stats}
     if shape == "single":
         t = terms[0]
         scored = frames[t].select(
