@@ -100,7 +100,69 @@ def main() -> None:
         runs.append(time.time() - t0)
     out["engine_fuzzy"] = round(sorted(runs)[1], 4)
 
+    # ---- skew/WAND legs at sf1 (round-5 order #8): the pruned-vs-exact
+    # gap should WIDEN with corpus size — the best local evidence for the
+    # 100× claim. Same corpus transform and block geometry as bench.py's
+    # sf0.1 legs, so the two scales are directly comparable.
+    from pyspark.sql import functions as F
+
+    from yetisearch_spark.wand import pruned_topk
+
+    skew_corpus = os.path.join(args.workdir, f"skew_corpus_{args.turns}")
+    if not os.path.exists(os.path.join(skew_corpus, "_DONE")):
+        shutil.rmtree(skew_corpus, ignore_errors=True)
+        tr = spark.read.parquet(corpus)
+        spike = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(5000)) == 0
+        rare = (F.element_at(F.split(F.col("conv_id"), "_"), -1)
+                .cast("long") < 200)
+        (tr.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" zzhead"),
+                     F.when(spike, F.lit(" zzhead" * 31)).otherwise(F.lit("")),
+                     F.when(rare, F.lit(" zzrare")).otherwise(F.lit(""))))
+         .write.mode("overwrite").parquet(skew_corpus))
+        open(os.path.join(skew_corpus, "_DONE"), "w").write("ok")
+    skew_dir = os.path.join(args.workdir,
+                            f"skew_index_{args.turns}_{args.cpus}")
+    if not os.path.exists(os.path.join(skew_dir, "_BENCH_DONE")):
+        shutil.rmtree(skew_dir, ignore_errors=True)
+        build_index(spark, spark.read.parquet(skew_corpus), skew_dir,
+                    input_path=skew_corpus, block_size=64,
+                    shuffle_partitions=args.cpus)
+        open(os.path.join(skew_dir, "_BENCH_DONE"), "w").write("ok")
+
+    skew_idx = SearchIndex(spark, skew_dir, cache_postings=False,
+                           cache_docs=False)
+    skew_idx.pruned_gate_blocks = -1          # unpruned baseline
+    skew_idx.term_stats_for(["zzhead", "zzrare"])
+    facade_idx = SearchIndex(spark, skew_dir, cache_postings=False,
+                             cache_docs=False)   # default gate
+    facade_idx.term_stats_for(["zzhead", "zzrare"])
+
+    def cold_median(fn, n=3):
+        runs = []
+        for _ in range(n):
+            t0 = time.time()
+            fn().collect()
+            runs.append(time.time() - t0)
+        return sorted(runs)[n // 2]
+
+    for name, q in {"wand_skew_single": "zzhead",
+                    "wand_skew_and": "zzhead AND zzrare",
+                    "wand_skew_phrase": '"zzhead zzrare"',
+                    "wand_skew_near": 'NEAR("zzrare" "zzhead", 3)'}.items():
+        out[f"{name}_exact"] = round(cold_median(
+            lambda q=q: skew_idx.search(q, k=10)), 4)
+        out[f"{name}_pruned"] = round(cold_median(
+            lambda q=q: pruned_topk(skew_idx, q, k=10, gate_blocks=0)), 4)
+        out[f"{name}_facade"] = round(cold_median(
+            lambda q=q: facade_idx.search(q, k=10)), 4)
+        print(name, out[f"{name}_exact"], out[f"{name}_pruned"],
+              out[f"{name}_facade"], flush=True)
+
     print("RESULT_JSON:" + json.dumps(out))
+    with open(os.path.join(REPO, "sf1_bench_result.json"), "w") as f:
+        json.dump(out, f, indent=2)
     spark.stop()
 
 

@@ -130,6 +130,29 @@ def test_high_water_never_reallocates_live_ids(spark, tmp_path):
     live.close()
 
 
+def test_appends_after_auto_merge_are_not_swallowed(spark, tmp_path):
+    """Pinned (found by scripts/bench_merge.py): the merged segment used
+    to take epoch max+1, colliding with the caller's NEXT batch id —
+    append_segment would resume into the merged dir and silently DROP
+    that batch. Sequential batch ids across auto-merges must all land."""
+    pdf = generate_transcripts(400 + 6 * 50, seed=76)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    out = str(tmp_path / "seq_idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:400]), out,
+                num_buckets=8)
+    for i in range(6):   # sequential epochs 0..5, auto-merge at 3
+        seg = pdf.iloc[400 + i * 50: 450 + i * 50]
+        append_segment(spark, out, spark.createDataFrame(seg), epoch=i,
+                       auto_compact_segments=3)
+    live = GlobalSegmentedIndex(spark, out, cache_docs=False,
+                                cache_postings=False)
+    assert live.n_docs == len(pdf)
+    keys = {(r["conv_id"], r["turn_idx"]) for r in
+            live._docs.select("conv_id", "turn_idx").collect()}
+    assert len(keys) == len(pdf)
+    live.close()
+
+
 def test_merge_noop_cases(spark, tmp_path):
     out, pdf = _build_with_segments(spark, tmp_path, n_segs=1, seed=74)
     assert merge_segments(spark, out) == {}          # <2 segments

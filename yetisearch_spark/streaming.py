@@ -101,6 +101,11 @@ def high_water_doc_id(index_dir: str) -> int:
 #: (None disables, matching reference parity).
 AUTO_COMPACT_SEGMENTS = 16
 
+#: merged segments are numbered from here — a range no streaming batch
+#: id reaches, so a merge can never collide with (and swallow) a later
+#: append's segment directory
+MERGED_EPOCH_BASE = 10 ** 12
+
 
 def _inherited_build_kwargs(index_dir: str, overrides: dict) -> dict:
     cfg = load_manifest(index_dir).get("config", {})
@@ -619,6 +624,15 @@ def merge_segments(spark: SparkSession, index_dir: str,
     if len(epochs) < 2:
         return {}
 
+    # merged segments live in their own epoch-number range: naming the
+    # result max(epochs)+1 COLLIDED with the caller's next streaming
+    # batch id — append_segment would resume into the existing merged
+    # dir and silently drop that batch (found by scripts/bench_merge.py;
+    # pinned in test_tiered_merge). Batch ids replaying the same epoch
+    # must keep resuming (exactly-once), so the fix is a disjoint range,
+    # not collision remapping.
+    new_ep = max(max(segs) + 1, MERGED_EPOCH_BASE)
+
     dirs = [segment_dir(index_dir, e) for e in epochs]
     docs_raw = None
     for d in dirs:
@@ -628,7 +642,6 @@ def merge_segments(spark: SparkSession, index_dir: str,
     docs = docs_raw if tomb is None \
         else docs_raw.join(tomb, "doc_id", "left_anti")
 
-    new_ep = max(segs) + 1
     out = segment_dir(index_dir, new_ep)
     tmp = out + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
