@@ -58,6 +58,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from .postings import BM25_B, BM25_K1
 from .query import And, Phrase, SearchIndex, parse_query
 
 #: phase-1 metadata rows the driver may collect (≈ a few MB)
@@ -72,6 +73,13 @@ RANGE_BCAST_CAP = 200_000
 #: weakens the pruning threshold θ, so more blocks survive anyway).
 GATE_MIN_BLOCKS = 10_000
 GATE_BLOCKS_PER_K = 200
+#: positional shapes (phrase/NEAR) pay more fixed work per pruned query
+#: than term shapes — a phase-1 metadata collect, the slot-df count job
+#: over the pruned table, and join-heavier phase-2 kernels — so pruning
+#: must save a LARGER decode to pay off: measured at 1M docs (15.6k
+#: blocks) the exact positional path wins; at 10M it loses badly. The
+#: gate floor scales accordingly.
+GATE_MIN_BLOCKS_POSITIONAL = 50_000
 
 
 def _is_simple(node) -> tuple[bool, list[str], str]:
@@ -186,7 +194,9 @@ def pruned_scored(index: SearchIndex, node, k: int,
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
 
-    gate = max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K * k) \
+    gate_floor = GATE_MIN_BLOCKS_POSITIONAL \
+        if shape in ("phrase", "near") else GATE_MIN_BLOCKS
+    gate = max(gate_floor, GATE_BLOCKS_PER_K * k) \
         if gate_blocks is None else gate_blocks
     if sum(est_blocks.values()) < gate:
         info["est_blocks"] = sum(est_blocks.values())
@@ -322,17 +332,36 @@ def pruned_scored(index: SearchIndex, node, k: int,
             else:
                 index._register_handles([tbl])
         df_ph = index._df_count_cache.get(key)
-        if df_ph is None:
-            df_ph = tbl.count()
-            if index._cache_postings:
-                index._df_count_cache[key] = df_ph
-        if df_ph == 0:
-            return None, {"reason": "empty"}
-        scored = tbl.select(
-            "doc_id",
-            index._contrib_expr("tf", index.idf(df_ph)).alias("score"))
+        if df_ph is not None:
+            if df_ph == 0:
+                return None, {"reason": "empty"}
+            scored = tbl.select(
+                "doc_id",
+                index._contrib_expr("tf", index.idf(df_ph)).alias("score"))
+            out_info = {"gated": False, "shape": shape, "total": int(df_ph),
+                        "count_exact": True, "prune_stats": prune_stats}
+            return scored.select("doc_id", "score"), out_info
+        # slot df unknown → compute the idf IN-PLAN from a broadcast
+        # 1-row count of the (complete) pruned table: no separate driver
+        # job — the page action carries it. ln() here is JVM libm vs the
+        # driver's C libm on the cached path: both correctly-rounded
+        # IEEE doubles for these inputs (rank-identity suites run both).
+        cnt = tbl.agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        n = float(index.n_docs)
+        raw_idf = F.log((F.lit(n) - F.col("_df") + 0.5)
+                        / (F.col("_df") + 0.5))
+        idf_col = F.when(raw_idf > 0.0, raw_idf).otherwise(F.lit(1e-6))
+        scored = (tbl.crossJoin(F.broadcast(cnt))
+                  .select("doc_id",
+                          (idf_col * F.col("tf").cast("double")
+                           * (BM25_K1 + 1.0)
+                           / (F.col("tf").cast("double")
+                              + BM25_K1 * (1.0 - BM25_B
+                                           + BM25_B
+                                           * F.col("doc_len").cast("double")
+                                           / index.avgdl))).alias("score")))
         out = scored.select("doc_id", "score")
-        return out, {"gated": False, "shape": shape, "total": int(df_ph),
+        return out, {"gated": False, "shape": shape,
                      "count_exact": True, "prune_stats": prune_stats}
     if shape == "near":
         ptables = {p: frames[p.terms[0]].select("doc_id", "tf", "doc_len",
