@@ -272,5 +272,7 @@ def test_warm_materializes_doc_store(spark, two_indexes):
     idx.close()
 
     uncached = SearchIndex(spark, two_indexes["a"], cache_docs=False)
-    assert uncached.warm() == {"docs": 0}
+    out = uncached.warm()
+    assert out["docs"] == 0
+    assert out["warmed_terms"] > 0   # round 5: head-term decode prefill
     uncached.close()
