@@ -218,11 +218,22 @@ def main() -> None:
     facade_idx.term_stats_for(["zzhead", "zzrare"])
 
     def _cold_median(fn, n=3):
+        # release each run's persisted match tables: a phrase/NEAR run
+        # persists its positional match table, and the NEXT run's
+        # identical plan would be served from Spark's CacheManager by
+        # canonical-plan matching (even across SearchIndex instances) —
+        # silently turning a cold leg into a warm one. True cold cost
+        # every run.
         runs = []
         for _ in range(n):
             t0 = time.time()
-            fn(skew_idx).collect()
+            out = fn(skew_idx)
+            out.collect()
             runs.append(time.time() - t0)
+            for ix in (skew_idx, facade_idx):
+                ix.release(getattr(out, "_ys_handles", []))
+                for g in list(ix._handle_groups):
+                    ix.release(g)
         return sorted(runs)[n // 2]
 
     # gate_blocks=0: this leg measures the pruning win itself (at the
@@ -236,8 +247,11 @@ def main() -> None:
                     "wand_skew_phrase": '"zzhead zzrare"',
                     "wand_skew_near": 'NEAR("zzrare" "zzhead", 3)'}
     for name, q in skew_queries.items():
+        # positional exact legs decode the full head-term positions —
+        # tens of seconds true-cold; one run is the honest number
+        n_exact = 1 if name in ("wand_skew_phrase", "wand_skew_near") else 3
         timings[f"{name}_exact"] = round(_cold_median(
-            lambda ix, q=q: ix.search(q, k=10)), 4)
+            lambda ix, q=q: ix.search(q, k=10), n=n_exact), 4)
         timings[f"{name}_pruned"] = round(_cold_median(
             lambda ix, q=q: pruned_topk(ix, q, k=10, gate_blocks=0)), 4)
         timings[f"{name}_facade"] = round(_cold_median(

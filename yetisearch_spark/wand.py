@@ -73,13 +73,6 @@ RANGE_BCAST_CAP = 200_000
 #: weakens the pruning threshold θ, so more blocks survive anyway).
 GATE_MIN_BLOCKS = 10_000
 GATE_BLOCKS_PER_K = 200
-#: positional shapes (phrase/NEAR) pay more fixed work per pruned query
-#: than term shapes — a phase-1 metadata collect, the slot-df count job
-#: over the pruned table, and join-heavier phase-2 kernels — so pruning
-#: must save a LARGER decode to pay off: measured at 1M docs (15.6k
-#: blocks) the exact positional path wins; at 10M it loses badly. The
-#: gate floor scales accordingly.
-GATE_MIN_BLOCKS_POSITIONAL = 50_000
 
 
 def _is_simple(node) -> tuple[bool, list[str], str]:
@@ -194,9 +187,13 @@ def pruned_scored(index: SearchIndex, node, k: int,
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
 
-    gate_floor = GATE_MIN_BLOCKS_POSITIONAL \
-        if shape in ("phrase", "near") else GATE_MIN_BLOCKS
-    gate = max(gate_floor, GATE_BLOCKS_PER_K * k) \
+    # one gate for every shape: the POSITIONAL decode a phrase/NEAR
+    # exact path pays is ~6× the light decode per block (true first-run
+    # cost at 10M docs: 83s exact vs 0.56s pruned — early measurements
+    # that said otherwise were reading Spark's canonical-plan cache, not
+    # a cold run), so pruning pays off for positional shapes at least as
+    # early as for term shapes
+    gate = max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K * k) \
         if gate_blocks is None else gate_blocks
     if sum(est_blocks.values()) < gate:
         info["est_blocks"] = sum(est_blocks.values())
