@@ -424,8 +424,11 @@ class SearchIndex:
 
     #: decoded-postings LRU: hot query terms keep their decoded posting
     #: DataFrames persisted across queries (the serving analog of the
-    #: reference's prepared-statement + page cache, K4/K5 family)
-    DECODED_CACHE_MAX = 128
+    #: reference's prepared-statement + page cache, K4/K5 family).
+    #: Sized above warm()'s default prefill (256 light + 64 positional)
+    #: plus working-set headroom; frames spill MEMORY_AND_DISK, so the
+    #: bound is eviction policy, not OOM protection.
+    DECODED_CACHE_MAX = 512
     #: bound on live persisted per-query match tables for callers that
     #: never call release() (engine does; ad-hoc users are still bounded)
     HANDLE_GROUPS_MAX = 16
@@ -480,7 +483,8 @@ class SearchIndex:
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._handle_groups: list[list[DataFrame]] = []
 
-    def warm(self, top_df_terms: int = 64) -> dict:
+    def warm(self, top_df_terms: int = 64,
+             positional_terms: int = 32) -> dict:
         """Replica bootstrap: materialize the pinned doc store before
         taking traffic (the reference opens and mmaps its SQLite file at
         construction, too). Without this, the first query that joins
@@ -494,24 +498,41 @@ class SearchIndex:
         cold fills are linear in df, so the head terms ARE the expensive
         ones; filling them at bootstrap moves that cost out of first-
         query latency (round-5 order: the sf1 cold total was dominated by
-        head-term decode fills). One materializing action over the union
-        of the promoted frames. 0 disables. Returns {"docs": n,
-        "warmed_terms": k}."""
+        head-term decode fills). ``positional_terms``: same for the
+        positional variant (phrase/NEAR serving) over a SMALLER head set
+        — positional frames cost ~6× the light ones, so a replica warms
+        fewer of them. One materializing action over the union of the
+        promoted frames. 0 disables either tier. Returns {"docs": n,
+        "warmed_terms": k}.
+
+        Defaults are deliberately modest: measured at 10M docs, warming
+        320 frames made SUBSEQUENT queries slower (every query's plan
+        lookup walks the CacheManager's canonical-plan entries, and
+        hundreds of cached frames outweigh the decode savings), while
+        the head-64/32 set costs ~30 s bootstrap and shaves the worst
+        cold fills."""
         n = self._docs.count() if self._docs_cached else 0
         self.term_stats_for(["_warm_probe"])   # triggers the vocab load
         warmed = 0
         if top_df_terms and self._cache_postings:
             rows = (self._term_stats.orderBy(F.desc("df"))
-                    .limit(top_df_terms).select("term").collect())
+                    .limit(max(top_df_terms, positional_terms))
+                    .select("term").collect())
             promoted = []
-            for r in rows:
-                self._decoded_for_term(r["term"], with_positions=False)
-                promoted.append(
-                    self._decoded_for_term(r["term"], with_positions=False))
+            for i, r in enumerate(rows):
+                variants = []
+                if i < top_df_terms:
+                    variants.append(False)
+                if i < positional_terms:
+                    variants.append(True)
+                for with_pos in variants:
+                    self._decoded_for_term(r["term"], with_positions=with_pos)
+                    promoted.append(self._decoded_for_term(
+                        r["term"], with_positions=with_pos))
             if promoted:
-                out = promoted[0]
+                out = promoted[0].select("doc_id")
                 for p in promoted[1:]:
-                    out = out.unionByName(p)
+                    out = out.unionByName(p.select("doc_id"))
                 out.count()   # ONE action materializes every pinned frame
             warmed = len(promoted)
         return {"docs": int(n), "warmed_terms": warmed}
