@@ -534,6 +534,45 @@ def q_engine_pruned_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull())
 
 
+def q_engine_deleted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-exact segmented serving (round 5), value-checked end to
+    end: copy the built index, tombstone a deterministic victim set
+    (every 3rd 'data' match), and serve BM25 AND top-10 through the
+    GlobalSegmentedIndex — per-term deleted-df deltas + decode-level
+    tombstone filtering must make df/idf/avgdl/n_docs EXACT over the
+    survivors. The oracle recomputes everything from the materialized
+    FULL token table minus the materialized tombstone list (corrected
+    n, avgdl, df all in SQL)."""
+    import shutil
+
+    from yetisearch_spark.query import SearchIndex
+    from yetisearch_spark.streaming import GlobalSegmentedIndex, delete_docs
+
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "engd")   # full pre-delete corpus
+    mut = idx.index_dir + "_deleted"
+    if not os.path.exists(os.path.join(mut, "_DELETED")):
+        shutil.rmtree(mut, ignore_errors=True)
+        shutil.copytree(idx.index_dir, mut)
+        base = SearchIndex(spark, mut, cache_postings=False,
+                           cache_docs=False)
+        victims = sorted(r["doc_id"] for r in
+                         base.search("data", k=5000).collect())[::3]
+        base.close()
+        delete_docs(spark, mut, victims)
+        open(os.path.join(mut, "_DELETED"), "w").write("ok")
+    _materialize(spark.read.parquet(os.path.join(mut, "tombstones")),
+                 "engd_tombs")
+    live = GlobalSegmentedIndex(spark, mut, cache_postings=False,
+                                cache_docs=False)
+    rows = [(r["doc_id"], round(r["score"], 4))
+            for r in live.search("data AND queri", k=10).collect()]
+    live.close()
+    return spark.createDataFrame(rows or [(None, None)],
+                                 "doc_id long, score double").where(
+        F.col("doc_id").isNotNull())
+
+
 def q_near3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-phrase NEAR top-10 through the batch-vectorized trim kernel
     (round 4, query.SearchIndex._near_table k>=3 path). The oracle
@@ -746,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_fuzzy": q_engine_fuzzy,
         "engine_pruned_topk": q_engine_pruned_topk,
         "engine_pruned_facade": q_engine_pruned_facade,
+        "engine_deleted_search": q_engine_deleted_search,
         "near3_topk": q_near3_topk,
         "engine_boosted": q_engine_boosted,
         "engine_geo": q_engine_geo,
@@ -1110,6 +1150,37 @@ def oracle_sql() -> dict[str, str]:
         "engine_search": _exact_and_sql("engs"),
         "engine_pruned_topk": _exact_and_sql("engp"),
         "engine_pruned_facade": _exact_and_sql("engpf", normalize=True),
+        "engine_deleted_search": f"""
+            WITH tomb AS (SELECT doc_id
+                          FROM read_parquet('{MAT_DIR}/engd_tombs/*.parquet')),
+            tok AS (SELECT doc_id, term
+                    FROM read_parquet('{MAT_DIR}/engd_tokens/*.parquet')
+                    WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+            vic_toks AS (SELECT count(*) AS vt
+                         FROM read_parquet('{MAT_DIR}/engd_tokens/*.parquet')
+                         WHERE doc_id IN (SELECT doc_id FROM tomb)),
+            g0 AS (SELECT n, avgdl
+                   FROM read_parquet('{MAT_DIR}/engd_stats/*.parquet')),
+            -- stats corrected over the SURVIVORS: n drops by the victim
+            -- count, avgdl re-averages the remaining tokens
+            g AS (SELECT (g0.n - (SELECT count(*) FROM tomb)) AS n,
+                         ((g0.n * g0.avgdl - (SELECT vt FROM vic_toks))
+                          / (g0.n - (SELECT count(*) FROM tomb))) AS avgdl
+                  FROM g0),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    WHERE term IN ('data','queri') GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+            scored AS (
+                SELECT t.doc_id,
+                       sum({_idf_sql('d.df')} * t.tf * {K1 + 1.0}
+                           / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl))) AS s
+                FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id)
+                CROSS JOIN g
+                GROUP BY t.doc_id HAVING count(*) = 2)
+            SELECT doc_id, round(s, 4) AS score FROM scored
+            ORDER BY s DESC, doc_id LIMIT 10
+        """,
         "near3_topk": f"""
             WITH tok AS (SELECT doc_id, pos, term
                          FROM read_parquet('{MAT_DIR}/near3_tokens/*.parquet')),
