@@ -402,6 +402,7 @@ class GlobalSegmentedIndex(SearchIndex):
         self._tomb = load_tombstones(spark, index_dir)
         self._docs_raw = docs  # pre-anti-join view (victims' tokens feed
         # the WAND block-max override recomputation)
+        self._n_tombstoned = 0
         if self._tomb is not None:
             # correct the corpus stats for hidden docs (ONE tiny agg at
             # construction; FTS5 updates its stats on delete too)
@@ -410,6 +411,7 @@ class GlobalSegmentedIndex(SearchIndex):
                         F.sum("doc_len").alias("toks")).collect()[0])
             n_docs -= int(row["n"])
             tok_total -= float(row["toks"] or 0.0)
+            self._n_tombstoned = int(row["n"])
             docs = docs.join(self._tomb, "doc_id", "left_anti")
 
         self.n_docs = n_docs

@@ -65,6 +65,10 @@ from .query import And, Phrase, SearchIndex, parse_query
 DRIVER_CAP = 50_000
 #: block ranges we are willing to broadcast for the range-overlap join
 RANGE_BCAST_CAP = 200_000
+#: tombstoned docs above which the pruned tier yields to the exact path
+#: (the block-max override recomputation broadcasts the victims'
+#: (term, doc) pairs — bounded memory only while deletes are bounded)
+OVERRIDES_TOMB_CAP = 1_000_000
 #: cost gate: below this many estimated blocks the exact path (which
 #: reuses the pinned decoded-postings cache and runs zero planning jobs)
 #: beats pruning — phase 1 pays a metadata job the exact path never
@@ -155,13 +159,19 @@ def pruned_scored(index: SearchIndex, node, k: int,
         info["reason"] = "shape"
         return None, info
     if (getattr(index, "_tomb", None) is not None
-            and not hasattr(index, "_wand_block_overrides")):
+            and (not hasattr(index, "_wand_block_overrides")
+                 or getattr(index, "_n_tombstoned", 0)
+                 > OVERRIDES_TOMB_CAP)):
         # A tombstoned view needs delete-aware bounds: stored block
         # maxima may be attained by hidden docs (θ would overestimate
         # and prune a block holding the true top-k). The serving view
         # (GlobalSegmentedIndex) provides recomputed per-block maxima
         # via _wand_block_overrides + delete-exact phase-2 filtering;
-        # any other tombstoned index routes to the exact path.
+        # any other tombstoned index routes to the exact path — as does
+        # a view with MASS deletes (the override computation broadcasts
+        # the victims' (term, doc) pairs; above the cap that broadcast
+        # would stress executors, and at that delete fraction the bounds
+        # are weak anyway — compaction is the answer, not pruning).
         info["reason"] = "tombstones"
         return None, info
     if shape in ("phrase", "near"):
