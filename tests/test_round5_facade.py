@@ -110,3 +110,34 @@ def test_engine_facade_pruned_min_score_and_offset(spark, idx_dir):
     b = routed.search("t", q)
     assert [r["id"] for r in b["results"]] == [r["id"] for r in a["results"]]
     assert b["total"] == a["total"]
+
+
+def test_engine_pruned_single_runs_one_action(spark, idx_dir):
+    """The pruned single-term engine route must stay ONE Spark action
+    per query: the page+total union collect, with the total a driver
+    literal (df) — no count job, no extra phase-1 job once the per-term
+    block metadata is memoized."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    eng = Engine(spark, {"t": idx_dir},
+                 config={"pruned_gate_blocks": 0, "enable_fuzzy": False})
+    t = _common_terms(eng.index("t"))[0]
+    q = SearchQuery(query=t, limit=10, bypass_cache=True)
+    eng.search("t", q)          # warm-up: meta collect + plan build
+
+    calls = []
+    orig = CDF.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    CDF.collect = counting
+    try:
+        out = eng.search("t", q)
+    finally:
+        CDF.collect = orig
+    assert out["total"] > 0 and out["results"]
+    assert len(calls) == 1, f"{len(calls)} collects on the hot pruned path"
