@@ -257,6 +257,24 @@ def main() -> None:
         timings[f"{name}_facade"] = round(_cold_median(
             lambda ix, q=q: facade_idx.search(q, k=10)), 4)
 
+    # combined-fuzzy (M7) shape through the weighted-OR rule: phrase +
+    # NEAR + bare terms in one OR. Replica scenario: stats/df metadata
+    # synced (the standalone phrase df is seeded once, untimed), block
+    # data cold — the regime where the rule pays.
+    from yetisearch_spark.query import parse_query as _pq
+    wor_q = ('"zzhead zzrare" OR NEAR("zzrare" "zzhead", 3) '
+             'OR "zzrare" OR "zzhead"')
+    ph_node = _pq('"zzhead zzrare"')
+    ph_df = skew_idx._phrase_match(ph_node).count()
+    for ix in (skew_idx, facade_idx):
+        ix._df_count_cache[("ph", ph_node.terms)] = ph_df
+    timings["wand_skew_wor_exact"] = round(_cold_median(
+        lambda ix: ix.search(wor_q, k=10), n=1), 4)
+    timings["wand_skew_wor_pruned"] = round(_cold_median(
+        lambda ix: pruned_topk(ix, wor_q, k=10, gate_blocks=0)), 4)
+    timings["wand_skew_wor_facade"] = round(_cold_median(
+        lambda ix: facade_idx.search(wor_q, k=10)), 4)
+
     # fuzzy typo correction through the engine
     from yetisearch_spark.engine import Engine, SearchQuery
     eng = Engine(spark, {"main": index_dir})

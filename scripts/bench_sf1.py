@@ -170,6 +170,25 @@ def main() -> None:
         print(name, out[f"{name}_exact"], out[f"{name}_pruned"],
               out[f"{name}_facade"], flush=True)
 
+    # combined-fuzzy (M7) weighted-OR leg: stats metadata warm (phrase
+    # df seeded once, untimed), block data cold
+    from yetisearch_spark.query import parse_query as _pq
+    wor_q = ('"zzhead zzrare" OR NEAR("zzrare" "zzhead", 3) '
+             'OR "zzrare" OR "zzhead"')
+    ph_node = _pq('"zzhead zzrare"')
+    ph_df = skew_idx._phrase_match(ph_node).count()
+    for ix in (skew_idx, facade_idx):
+        ix._df_count_cache[("ph", ph_node.terms)] = ph_df
+    out["wand_skew_wor_exact"] = round(cold_median(
+        lambda: skew_idx.search(wor_q, k=10), n=1), 4)
+    out["wand_skew_wor_pruned"] = round(cold_median(
+        lambda: pruned_topk(skew_idx, wor_q, k=10, gate_blocks=0)), 4)
+    out["wand_skew_wor_facade"] = round(cold_median(
+        lambda: facade_idx.search(wor_q, k=10)), 4)
+    print("wand_skew_wor", out["wand_skew_wor_exact"],
+          out["wand_skew_wor_pruned"], out["wand_skew_wor_facade"],
+          flush=True)
+
     print("RESULT_JSON:" + json.dumps(out))
     with open(os.path.join(REPO, "sf1_bench_result.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -90,6 +90,70 @@ def test_near_pruned_identical(index):
         assert got == want, q
 
 
+def test_weighted_or_fuzzy_shape_identical(index):
+    """The combined-fuzzy (M7) family: OR mixing multi-term phrases,
+    NEARs and bare terms prunes via the weighted-OR rule (per-term
+    summed slot idfs; θ from the bare-term slots' attained bounds).
+    Phrase slot idfs need the standalone df — the exact run fills the
+    shared cache — then pruned == exact, scores at 1e-9."""
+    t, _ = _common_terms(index)
+    queries = [
+        f'"{t[0]} {t[1]}" OR NEAR("{t[0]}" "{t[2]}", 5) OR "{t[1]}" OR "{t[3]}"',
+        f'"{t[0]} {t[1]}" OR "{t[0]}"',              # shared constituent
+        f'NEAR("{t[0]}" "{t[1]}", 3) OR "{t[2]}"',
+        f'"{t[0]} zzznope" OR "{t[1]}"',             # dead phrase child
+        f'NEAR("{t[0]}" "zzznope", 3) OR "{t[1]}"',  # dead NEAR child
+        f'"{t[0]} {t[1]}" OR "{t[0]} {t[1]}"',       # duplicate slots
+    ]
+    for q in queries:
+        want = _exact(index, q)      # also fills the phrase-df cache
+        got, stats = _pruned(index, q)
+        assert got == want, q
+
+
+def test_weighted_or_random_compositions(index):
+    """Deterministic random sweep over mixed-slot OR shapes (the whole
+    'wor' family): pruned == exact for every composition."""
+    import random
+    rng = random.Random(7)
+    t, _ = _common_terms(index, n=8)
+    t = t[:6]
+
+    def atom():
+        kind = rng.choice(["s", "s", "ph", "n2", "n3"])
+        if kind == "s":
+            return f'"{rng.choice(t)}"'
+        if kind == "ph":
+            return f'"{rng.choice(t)} {rng.choice(t)}"'
+        if kind == "n2":
+            return f'NEAR("{rng.choice(t)}" "{rng.choice(t)}", {rng.randint(0, 8)})'
+        return (f'NEAR("{rng.choice(t)}" "{rng.choice(t)}" '
+                f'"{rng.choice(t)}", {rng.randint(1, 8)})')
+
+    for _ in range(15):
+        q = " OR ".join(atom() for _ in range(rng.randint(2, 4)))
+        want = _exact(index, q)
+        got, _stats = _pruned(index, q)
+        assert got == want, q
+
+
+def test_weighted_or_cold_phrase_df_routes_exact(spark, index):
+    """Without a cached standalone phrase df the weighted rule cannot
+    price the phrase slot — the query must route to the exact path (and
+    still be correct)."""
+    from yetisearch_spark.query import SearchIndex
+    cold = SearchIndex(spark, index.index_dir, cache_postings=False,
+                       cache_docs=False)
+    t, _ = _common_terms(index)
+    q = f'"{t[0]} {t[1]}" OR "{t[2]}"'
+    df = pruned_topk(cold, q, k=10, gate_blocks=0)
+    stats = getattr(df, "_pruning_stats", None)
+    assert stats and stats.get("reason") == "cold-phrase-df"
+    got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+    assert got == _exact(index, q)
+    cold.close()
+
+
 def test_fallback_for_unsupported_shape(index):
     terms, _ = _common_terms(index)
     # NOT and mixed nests stay on the exact path

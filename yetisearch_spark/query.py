@@ -1591,7 +1591,8 @@ class SearchIndex:
                 if with_docs:
                     topk = (self._docs.join(F.broadcast(topk), "doc_id")
                             .orderBy(F.desc("score"), F.asc("doc_id")))
-                topk._ys_handles = []  # type: ignore[attr-defined]
+                topk._ys_handles = info.get(  # type: ignore[attr-defined]
+                    "handles", [])
                 topk._pruning_stats = info.get(  # type: ignore[attr-defined]
                     "prune_stats")
                 return topk

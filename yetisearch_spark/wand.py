@@ -100,10 +100,86 @@ def _is_simple(node) -> tuple[bool, list[str], str]:
     if isinstance(node, And) and all(
             isinstance(c, Phrase) and len(c.terms) == 1 for c in node.children):
         return True, [c.terms[0] for c in node.children], "and"
-    if isinstance(node, Or) and all(
-            isinstance(c, Phrase) and len(c.terms) == 1 for c in node.children):
-        return True, [c.terms[0] for c in node.children], "or"
+    if isinstance(node, Or):
+        if all(isinstance(c, Phrase) and len(c.terms) == 1
+               for c in node.children):
+            return True, [c.terms[0] for c in node.children], "or"
+        # weighted OR ("wor"): the combined-fuzzy family (M7) — an OR
+        # mixing bare terms, multi-term phrases and NEARs (single-term
+        # members). Constituent terms of every child; _wor_slots builds
+        # the per-slot bound assignment.
+        def _ok_child(c):
+            if isinstance(c, Phrase):
+                return True
+            if isinstance(c, Near):
+                return all(isinstance(p, Phrase) and len(p.terms) == 1
+                           for p in c.phrases)
+            return False
+        if all(_ok_child(c) for c in node.children):
+            terms = []
+            for c in node.children:
+                if isinstance(c, Phrase):
+                    terms.extend(c.terms)
+                else:
+                    terms.extend(p.terms[0] for p in c.phrases)
+            return True, terms, "wor"
     return False, [], ""
+
+
+def _wor_plan(node, stats, index: SearchIndex) -> dict:
+    """Bound/weight plan for the weighted-OR shape (M7's combined-fuzzy
+    family). Every scoring slot is assigned ONE bounding constituent
+    term: a bare-term slot bounds by its own term; a multi-term phrase
+    slot by its rarest constituent (phrase tf ≤ any constituent tf, and
+    bm25_norm is monotone in tf); a NEAR member slot by its member term
+    (the trimmed tf ≤ the member's full tf). Summing slot idfs per
+    assigned term gives per-term weights w_t with
+
+        score(doc) = Σ_slots contrib ≤ Σ_t w_t · norm_ub(doc's t-block),
+
+    so a doc whose every block satisfies w_t·ub < θ/T cannot reach θ
+    (≤ T weighted terms per doc). θ itself comes from the ATTAINED
+    bounds of bare-term slots only (a phrase/NEAR slot's block lb is
+    attained by the term, not necessarily by the slot)."""
+    slots = []
+    need_pos = False
+    from .query import Near  # noqa: F811 (local import pattern of module)
+    for c in node.children:
+        if isinstance(c, Phrase) and len(c.terms) == 1:
+            t = c.terms[0]
+            df = stats.get(t, (0, 0))[0]
+            slots.append({"kind": "single", "node": c, "term": t,
+                          "idf": index.idf(df) if df else None})
+        elif isinstance(c, Phrase):
+            live = all(t in stats for t in c.terms)
+            df_ph = index._df_count_cache.get(("ph", c.terms)) if live \
+                else 0
+            if live and df_ph:
+                need_pos = True
+                rare = min(c.terms, key=lambda t: stats[t][0])
+                slots.append({"kind": "phrase", "node": c, "term": rare,
+                              "idf": index.idf(df_ph)})
+            else:
+                slots.append({"kind": "phrase", "node": c, "term": None,
+                              "idf": None})
+        else:  # Near of single-term members
+            live = all(p.terms[0] in stats for p in c.phrases)
+            if live:
+                need_pos = True
+            for m, p in enumerate(c.phrases):
+                t = p.terms[0]
+                slots.append({"kind": "near", "node": c, "member": m,
+                              "term": t if live else None,
+                              "idf": index.idf(stats[t][0]) if live
+                              else None})
+    weights: dict[str, float] = {}
+    live_slots = 0
+    for s in slots:
+        if s["term"] is not None and s["idf"] is not None:
+            weights[s["term"]] = weights.get(s["term"], 0.0) + s["idf"]
+            live_slots += 1
+    return {"slots": slots, "weights": weights, "live_slots": live_slots,
+            "need_pos": need_pos}
 
 
 def pruned_topk(index: SearchIndex, query, k: int = 10,
@@ -174,10 +250,12 @@ def pruned_scored(index: SearchIndex, node, k: int,
         # are weak anyway — compaction is the answer, not pruning).
         info["reason"] = "tombstones"
         return None, info
-    if shape in ("phrase", "near"):
-        # phrase/NEAR prune on UNIQUE constituents (a duplicated
+    if shape in ("phrase", "near", "wor"):
+        # positional shapes prune on UNIQUE constituents (a duplicated
         # constituent reuses the same pruned frame; the positional
-        # kernels handle repetition exactly as the exact path does)
+        # kernels handle repetition exactly as the exact path does, and
+        # the weighted-OR phase 2 is SLOT-keyed, so duplicate children
+        # score twice just like FTS5)
         terms = list(dict.fromkeys(terms))
     elif len(set(terms)) != len(terms):
         # duplicate phrase slots ("say OR say") score TWICE in FTS5 (and
@@ -196,6 +274,24 @@ def pruned_scored(index: SearchIndex, node, k: int,
     idf = {t: index.idf(stats[t][0]) for t in terms}
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
+
+    wor = None
+    if shape == "wor":
+        # the weighted-OR rule needs every multi-term phrase child's
+        # STANDALONE df for its slot idf — the pruned frames cannot
+        # provide it (OR pruning drops docs below θ that still count
+        # toward df). Serve from the shared df cache (populated by the
+        # exact path's batched count or a prior pruned-phrase query);
+        # cold dfs route to the exact path, which fills the cache.
+        for c in node.children:
+            if (isinstance(c, Phrase) and len(c.terms) > 1
+                    and all(t in stats for t in c.terms)
+                    and index._df_count_cache.get(("ph", c.terms)) is None):
+                info["reason"] = "cold-phrase-df"
+                return None, info
+        wor = _wor_plan(node, stats, index)
+        if wor["live_slots"] == 0:
+            return None, {"reason": "empty"}
 
     # one gate for every shape: the POSITIONAL decode a phrase/NEAR
     # exact path pays is ~6× the light decode per block (true first-run
@@ -216,11 +312,12 @@ def pruned_scored(index: SearchIndex, node, k: int,
     sel_by_term = None
     sel_df = None
     env_range = None
-    # phrase/NEAR prune with the AND rule over their constituents
+    # phrase/NEAR prune with the AND rule over their constituents;
+    # the mixed-slot OR uses the weighted rule
     shape_sel = "and" if shape in ("phrase", "near") else shape
     if sum(est_blocks.values()) <= driver_cap:
         full_terms, selected, meta_counts = _driver_select(
-            meta, terms, stats, idf, shape_sel, k, index=index)
+            meta, terms, stats, idf, shape_sel, k, index=index, wor=wor)
         if not selected and not full_terms:
             return None, {"reason": "empty"}
         # driver selection yields CONCRETE block keys → push them into the
@@ -236,7 +333,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
         prune_stats = {"blocks_total": n_total, "blocks_decoded": n_sel}
     else:
         full_terms, sel_df = _spark_select(meta, terms, idf, est_blocks,
-                                           shape_sel, k)
+                                           shape_sel, k, wor=wor)
         if shape_sel == "and" and sel_df is not None and full_terms:
             # O(1)-row envelope of the rare term's doc ranges, pushed into
             # the other terms' scans as literal predicates — postings are
@@ -260,7 +357,9 @@ def pruned_scored(index: SearchIndex, node, k: int,
     # whole scan+semi-join branch once per term; MapInPandas subtrees
     # never hit ReusedExchange)
     ISIN_CAP = 2048  # literal min_doc lists beyond this go via semi-join
-    need_pos = shape in ("phrase", "near")  # positional kernels downstream
+    # positional kernels downstream?
+    need_pos = shape in ("phrase", "near") \
+        or (wor is not None and wor["need_pos"])
 
     def term_frame(t: str) -> DataFrame:
         if t in full_terms:
@@ -382,6 +481,84 @@ def pruned_scored(index: SearchIndex, node, k: int,
         out = ntbl.select("doc_id", score.alias("score"))
         return out, {"gated": False, "shape": shape,
                      "count_exact": True, "prune_stats": prune_stats}
+    if shape == "wor":
+        # mirror of query.py's general OR scoring (slot-keyed union +
+        # per-slot conditional sums + slot-order fold — float-identical
+        # accumulation), built over the pruned frames. Dead slots (OOV
+        # constituents, zero-df phrases) emit no branch; their coalesced
+        # 0.0 in the fold matches the exact path's absent-slot behavior.
+        # A term consumed by several slots gets its (small, pruned) frame
+        # persisted so the scan+decode runs once, not once per branch;
+        # the handles ride back for release (bounded registry otherwise).
+        use_count: dict[str, int] = {}
+        for s in wor["slots"]:
+            if s["idf"] is None:
+                continue
+            if s["kind"] == "single":
+                use_count[s["term"]] = use_count.get(s["term"], 0) + 1
+            elif s["kind"] == "phrase":
+                for t in set(s["node"].terms):
+                    use_count[t] = use_count.get(t, 0) + 1
+            else:
+                t = s["node"].phrases[s["member"]].terms[0]
+                use_count[t] = use_count.get(t, 0) + 1
+        wor_handles = []
+        for t, n_use in use_count.items():
+            if n_use > 1:
+                frames[t] = frames[t].persist()
+                wor_handles.append(frames[t])
+        if wor_handles:
+            index._register_handles(wor_handles)
+        contribs = None
+        n_slots = len(wor["slots"])
+        si = 0
+        for c in node.children:
+            if isinstance(c, Phrase) and len(c.terms) == 1:
+                s = wor["slots"][si]
+                if s["idf"] is not None:
+                    br = frames[s["term"]].select(
+                        "doc_id", F.lit(si).alias("slot"),
+                        index._contrib_expr("tf", s["idf"]).alias("c"))
+                    contribs = br if contribs is None \
+                        else contribs.unionByName(br)
+                si += 1
+            elif isinstance(c, Phrase):
+                s = wor["slots"][si]
+                if s["idf"] is not None:
+                    tbl = index._phrase_match(c, frames=frames)
+                    br = tbl.select(
+                        "doc_id", F.lit(si).alias("slot"),
+                        index._contrib_expr("tf", s["idf"]).alias("c"))
+                    contribs = br if contribs is None \
+                        else contribs.unionByName(br)
+                si += 1
+            else:  # Near
+                if wor["slots"][si]["idf"] is not None:
+                    ptables = {p: frames[p.terms[0]].select(
+                        "doc_id", "tf", "doc_len", "positions")
+                        for p in set(c.phrases)}
+                    ntbl = index._near_table(c, ptables)
+                    for m, p in enumerate(c.phrases):
+                        s = wor["slots"][si + m]
+                        br = ntbl.select(
+                            "doc_id", F.lit(si + m).alias("slot"),
+                            index._contrib_expr(f"tf_{m}",
+                                                s["idf"]).alias("c"))
+                        contribs = br if contribs is None \
+                            else contribs.unionByName(br)
+                si += len(c.phrases)
+        if contribs is None:
+            return None, {"reason": "empty"}
+        sums = [F.sum(F.when(F.col("slot") == i, F.col("c"))).alias(f"_s{i}")
+                for i in range(n_slots)]
+        agg = contribs.groupBy("doc_id").agg(*sums)
+        score = None
+        for i in range(n_slots):  # slot order == FTS5 expression order
+            cc = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            score = cc if score is None else score + cc
+        out = agg.select("doc_id", score.alias("score"))
+        return out, {"gated": False, "shape": shape, "count_exact": False,
+                     "prune_stats": prune_stats, "handles": wor_handles}
     if shape == "single":
         t = terms[0]
         scored = frames[t].select(
@@ -449,7 +626,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
 # ---------------------------------------------------------------------------
 
 def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
-                   index: SearchIndex | None = None):
+                   index: SearchIndex | None = None, wor: dict | None = None):
     """Collect ≤ driver_cap metadata rows and run the exact selection
     algorithms locally; per-term metadata is memoized on the index (hot
     serving: repeated terms skip the metadata job entirely).
@@ -509,6 +686,21 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
                 j = np.searchsorted(rmins, mx, side="right")
                 if j > 0 and rmaxs[:j].max(initial=-1) >= mn:
                     selected[t].add((mn, mx))
+    elif shape == "wor":
+        # weighted OR (see _wor_plan): θ from the bare-term slots'
+        # attained bounds; prune blocks with w_t·ub < θ/T
+        T = max(1, wor["live_slots"])
+        singles = [(s["term"], s["idf"]) for s in wor["slots"]
+                   if s["kind"] == "single" and s["idf"] is not None]
+        all_lb = sorted((si * b[4] for (t, si) in singles
+                         for b in by_term.get(t, [])), reverse=True)
+        theta = all_lb[k * T - 1] if len(all_lb) >= k * T else 0.0
+        w = wor["weights"]
+        for t in terms:
+            for b in by_term[t]:
+                if theta == 0.0 or w.get(t, 0.0) * b[3] >= theta / T:
+                    selected[t].add((b[0], b[1]))
+        _pull_in_overlaps(terms, by_term, selected)
     else:  # or — WAND sum-threshold, exact
         # θ = guaranteed k-th best score. Each block of one term yields a
         # DISTINCT doc scoring ≥ idf·lb (blocks of a term partition its
@@ -524,20 +716,7 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
             for b in by_term[t]:
                 if theta == 0.0 or idf[t] * b[3] >= theta / T:
                     selected[t].add((b[0], b[1]))
-        # docs with one selected + one unselected block: pull in unselected
-        # blocks overlapping any selected range so their sums stay exact
-        sel_ranges = sorted({r for t in terms for r in selected[t]})
-        if sel_ranges:
-            smins = np.array([a for a, _ in sel_ranges], dtype=np.int64)
-            smaxs = np.array([b for _, b in sel_ranges], dtype=np.int64)
-            run_max = np.maximum.accumulate(smaxs)
-            for t in terms:
-                for (mn, mx, nd, ub, lb) in by_term[t]:
-                    if (mn, mx) in selected[t]:
-                        continue
-                    j = np.searchsorted(smins, mx, side="right")
-                    if j > 0 and run_max[j - 1] >= mn:
-                        selected[t].add((mn, mx))
+        _pull_in_overlaps(terms, by_term, selected)
 
     full_terms: list = []
     if shape == "and":
@@ -551,17 +730,85 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
     return full_terms, out, meta_counts
 
 
+def _pull_in_overlaps(terms, by_term, selected) -> None:
+    """Docs with one selected + one unselected block: pull in unselected
+    blocks overlapping any selected range so their score sums stay exact
+    (a top-k doc has ≥1 selected block, and its other terms' blocks
+    overlap that block's doc range)."""
+    sel_ranges = sorted({r for t in terms for r in selected[t]})
+    if not sel_ranges:
+        return
+    smins = np.array([a for a, _ in sel_ranges], dtype=np.int64)
+    smaxs = np.array([b for _, b in sel_ranges], dtype=np.int64)
+    run_max = np.maximum.accumulate(smaxs)
+    for t in terms:
+        for (mn, mx, nd, ub, lb) in by_term[t]:
+            if (mn, mx) in selected[t]:
+                continue
+            j = np.searchsorted(smins, mx, side="right")
+            if j > 0 and run_max[j - 1] >= mn:
+                selected[t].add((mn, mx))
+
+
 # ---------------------------------------------------------------------------
 # Spark-side selection (head terms: metadata never leaves the cluster)
 # ---------------------------------------------------------------------------
 
-def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k):
+def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k,
+                  wor: dict | None = None):
     """→ (full_terms, selected_blocks_df[(term, min_doc)] | None).
 
     Every rule here is a lazy plan; nothing is collected. Thresholds come
     from orderBy+limit+agg (TakeOrderedAndProject — scale-safe) cross-
     joined back as 1-row broadcast frames."""
     T = len(terms)
+    if shape == "wor":
+        # weighted OR (see _wor_plan): θ from bare-term slots' attained
+        # lb bounds; prune on per-term WEIGHTED ub; pull in overlaps
+        Ts = float(max(1, wor["live_slots"]))
+        singles: dict[str, float] = {}
+        for s in wor["slots"]:
+            if s["kind"] == "single" and s["idf"] is not None:
+                singles[s["term"]] = singles.get(s["term"], 0.0) + s["idf"]
+        w_e = None
+        for t, wt in wor["weights"].items():
+            c = F.when(F.col("term") == t, F.lit(float(wt)))
+            w_e = c if w_e is None else w_e.when(F.col("term") == t,
+                                                 F.lit(float(wt)))
+        if w_e is None:
+            return list(terms), None
+        s_e = None
+        for t, si in singles.items():
+            c = F.when(F.col("term") == t, F.lit(float(si)))
+            s_e = c if s_e is None else s_e.when(F.col("term") == t,
+                                                 F.lit(float(si)))
+        scored = meta.withColumn("wub",
+                                 F.coalesce(w_e, F.lit(0.0))
+                                 * F.col("bmax_ub"))
+        kT = k * int(Ts)
+        if s_e is None:
+            sel0 = scored  # no attained bounds → θ=0 → keep everything
+        else:
+            slb = scored.withColumn("slb",
+                                    F.coalesce(s_e, F.lit(0.0))
+                                    * F.col("bmax_lb"))
+            theta = (slb.where(F.col("slb") > 0.0).select("slb")
+                     .orderBy(F.desc("slb")).limit(kT)
+                     .agg(F.min("slb").alias("theta"),
+                          F.count(F.lit(1)).alias("n")))
+            sel0 = (scored.crossJoin(F.broadcast(theta))
+                    .where((F.col("n") < kT)
+                           | (F.col("wub") >= F.col("theta") / F.lit(Ts))))
+        s0_ranges = sel0.select(F.col("min_doc").alias("rmin"),
+                                F.col("max_doc").alias("rmax"))
+        pulled = (meta.join(F.broadcast(s0_ranges),
+                            (F.col("max_doc") >= F.col("rmin"))
+                            & (F.col("min_doc") <= F.col("rmax")),
+                            "left_semi")
+                  .select("term", "min_doc"))
+        sel = (sel0.select("term", "min_doc").unionByName(pulled)
+               .dropDuplicates(["term", "min_doc"]))
+        return [], sel
     if shape == "single":
         # θ from the top-k ATTAINED bounds (lb); prune on ub ≥ θ
         theta = (meta.select("bmax_lb")
