@@ -534,6 +534,33 @@ def q_engine_pruned_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull())
 
 
+def q_engine_wor_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine.search routed through the pruned WEIGHTED-OR tier with the
+    default totals policy (round-6: the combined-fuzzy M7 family no
+    longer pays the exact positional path through the engine facade).
+    pruned_gate_blocks=0 forces the tier; the page comes from the wor
+    phase 2 over pruned frames, the TOTAL from wand's count-only plan
+    (head-df base + block-probed anti-join — ``total_mode: exact``). The
+    result carries (doc_id, 0-100 score, total) so the oracle
+    value-checks the page AND the exact count in one entry (the
+    reference runs a full storage COUNT per search,
+    src/Search/SearchEngine.php:207)."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "engw")
+    eng = Engine(spark, {"main": idx.index_dir},
+                 config={"enable_fuzzy": False, "pruned_gate_blocks": 0})
+    q = '"data queri" OR NEAR("data" "spark", 6) OR "queri" OR "join"'
+    res = eng.search("main", SearchQuery(query=q, limit=10))
+    assert "total_mode" not in res   # default policy is EXACT totals
+    rows = [(r["document"]["doc_id"], float(r["score"]),
+             int(res["total"])) for r in res["results"]]
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, score double, total long").where(
+        F.col("doc_id").isNotNull())
+
+
 def q_engine_deleted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-exact segmented serving (round 5), value-checked end to
     end: copy the built index, tombstone a deterministic victim set
@@ -785,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_fuzzy": q_engine_fuzzy,
         "engine_pruned_topk": q_engine_pruned_topk,
         "engine_pruned_facade": q_engine_pruned_facade,
+        "engine_wor_facade": q_engine_wor_facade,
         "engine_deleted_search": q_engine_deleted_search,
         "near3_topk": q_near3_topk,
         "engine_boosted": q_engine_boosted,
@@ -1150,6 +1178,71 @@ def oracle_sql() -> dict[str, str]:
         "engine_search": _exact_and_sql("engs"),
         "engine_pruned_topk": _exact_and_sql("engp"),
         "engine_pruned_facade": _exact_and_sql("engpf", normalize=True),
+        # weighted-OR through the engine: slot order is phrase, NEAR
+        # member 1 (data), NEAR member 2 (spark), bare queri, bare join;
+        # NEAR member idfs use the member TERM's standalone df; total =
+        # |union of slot doc sets| (docs matching 'data' alone are NOT
+        # matches — 'data' is only a constituent, not a slot)
+        "engine_wor_facade": f"""
+            WITH tok AS (SELECT doc_id, pos, term
+                         FROM read_parquet('{MAT_DIR}/engw_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/engw_stats/*.parquet')),
+            pd AS (SELECT doc_id, pos FROM tok WHERE term = 'data'),
+            pq AS (SELECT doc_id, pos FROM tok WHERE term = 'queri'),
+            psp AS (SELECT doc_id, pos FROM tok WHERE term = 'spark'),
+            tq AS (SELECT doc_id, count(*) AS tf FROM pq GROUP BY doc_id),
+            tj AS (SELECT doc_id, count(*) AS tf FROM tok
+                   WHERE term = 'join' GROUP BY doc_id),
+            ph AS (SELECT a.doc_id, count(*) AS tf
+                   FROM pd a JOIN pq b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY a.doc_id),
+            -- FTS5 NEAR(data spark, 6) trim for len-1 phrases: an
+            -- instance survives iff a partner lies within |gap| <= 7
+            n1 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT a.doc_id, a.pos FROM pd a JOIN psp b
+                       ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 7)
+                   GROUP BY doc_id),
+            n2 AS (SELECT doc_id, count(*) AS tf FROM (
+                     SELECT DISTINCT b.doc_id, b.pos FROM pd a JOIN psp b
+                       ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 7)
+                   GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM ph) AS dfph,
+                          (SELECT count(DISTINCT doc_id) FROM pd) AS dfd,
+                          (SELECT count(DISTINCT doc_id) FROM psp) AS dfsp,
+                          (SELECT count(*) FROM tq) AS dfq,
+                          (SELECT count(*) FROM tj) AS dfj),
+            cset AS (SELECT doc_id FROM ph UNION SELECT doc_id FROM n1
+                     UNION SELECT doc_id FROM tq
+                     UNION SELECT doc_id FROM tj),
+            tot AS (SELECT count(*) AS total FROM cset),
+            per AS (SELECT c.doc_id, dl.dl,
+                           ph.tf AS tf0, n1.tf AS ntf1, n2.tf AS ntf2,
+                           tq.tf AS tf3, tj.tf AS tf4
+                    FROM cset c JOIN dl USING(doc_id)
+                    LEFT JOIN ph USING(doc_id) LEFT JOIN n1 USING(doc_id)
+                    LEFT JOIN n2 USING(doc_id) LEFT JOIN tq USING(doc_id)
+                    LEFT JOIN tj USING(doc_id)),
+            raw AS (SELECT doc_id,
+                      ((((coalesce(c0, 0.0) + coalesce(c1, 0.0))
+                         + coalesce(c2, 0.0)) + coalesce(c3, 0.0))
+                       + coalesce(c4, 0.0)) AS s
+                    FROM (SELECT dl.doc_id,
+                        {_contrib_sql(_idf_sql('st.dfph'), 'dl.tf0')} AS c0,
+                        {_contrib_sql(_idf_sql('st.dfd'), 'dl.ntf1')} AS c1,
+                        {_contrib_sql(_idf_sql('st.dfsp'), 'dl.ntf2')} AS c2,
+                        {_contrib_sql(_idf_sql('st.dfq'), 'dl.tf3')} AS c3,
+                        {_contrib_sql(_idf_sql('st.dfj'), 'dl.tf4')} AS c4
+                      FROM per dl CROSS JOIN g CROSS JOIN st)),
+            sel AS (SELECT doc_id, s FROM raw
+                    ORDER BY s DESC, doc_id LIMIT 10)
+            SELECT doc_id,
+                   round(s / (SELECT max(s) FROM sel) * 100.0, 1) AS score,
+                   CAST((SELECT total FROM tot) AS BIGINT) AS total
+            FROM sel ORDER BY s DESC, doc_id
+        """,
         "engine_deleted_search": f"""
             WITH tomb AS (SELECT doc_id
                           FROM read_parquet('{MAT_DIR}/engd_tombs/*.parquet')),

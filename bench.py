@@ -107,7 +107,12 @@ def main() -> None:
     # the fuzzy page below — doesn't absorb the one-time cache fill. The
     # *query-specific* cold work (per-term decode fills) stays inside the
     # timed cold legs.
+    t0 = time.time()
     idx.warm()
+    # round-6 order 6: the prefill IS the replica bring-up cost — record
+    # it as its own leg (linear in head-term df; at 100× the lever is a
+    # partition-parallel fill, see warm() docstring / BENCH §16)
+    timings["warm_bootstrap"] = round(time.time() - t0, 4)
     bench_queries = {
         "engine_single": "search",
         "engine_and": "data AND process",
@@ -274,6 +279,32 @@ def main() -> None:
         lambda ix: pruned_topk(ix, wor_q, k=10, gate_blocks=0)), 4)
     timings["wand_skew_wor_facade"] = round(_cold_median(
         lambda ix: facade_idx.search(wor_q, k=10)), 4)
+
+    # round 6: the same weighted-OR through Engine.search with the
+    # DEFAULT totals policy (total_mode: exact) — the page from the
+    # pruned tier, the total from wand's count-only plan (head df base +
+    # block-probed anti-join; never a full head decode). The verdict bar:
+    # within ~2× of the SearchIndex facade leg above.
+    from yetisearch_spark.engine import Engine as _Eng
+    from yetisearch_spark.engine import SearchQuery as _SQ
+    eng_skew_idx = SearchIndex(spark, skew_idx_dir,
+                               cache_postings=False, cache_docs=False)
+    eng_skew_idx.term_stats_for(["zzhead", "zzrare"])
+    eng_skew_idx._df_count_cache[("ph", ph_node.terms)] = ph_df
+    eng_skew = _Eng(spark, {"skew": skew_idx_dir},
+                    config={"enable_fuzzy": False})
+    eng_skew.indexes["skew"] = eng_skew_idx
+    _sqw = _SQ(query=wor_q, limit=10, bypass_cache=True)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        out_w = eng_skew.search("skew", _sqw)
+        runs.append(time.time() - t0)
+        assert out_w["total"] > 0 and "total_mode" not in out_w
+        for g in list(eng_skew_idx._handle_groups):
+            eng_skew_idx.release(g)
+    timings["wand_skew_wor_engine"] = round(sorted(runs)[1], 4)
+    eng_skew_idx.close()
 
     # fuzzy typo correction through the engine
     from yetisearch_spark.engine import Engine, SearchQuery

@@ -243,3 +243,44 @@ def test_random_trees_segmented_serving(data, seg_pair, index, oracle,
         assert gd == od, (q, got, want)
         assert math.isclose(gs, osc, rel_tol=SCORE_TOL, abs_tol=1e-12), \
             (q, gd, gs, osc)
+
+
+@pytest.fixture(scope="module")
+def engine_pair(spark, index):
+    """Two engines over the property corpus: pruning disabled vs forced.
+    Everything between the user and the rank-identical core — rescoring,
+    R5 normalization, result caching, pruned routing, the round-6 totals
+    policy — must agree between them."""
+    from yetisearch_spark.engine import Engine
+    exact = Engine(spark, {"p": index.index_dir},
+                   config={"pruned_gate_blocks": -1, "enable_fuzzy": False})
+    routed = Engine(spark, {"p": index.index_dir},
+                    config={"pruned_gate_blocks": 0, "enable_fuzzy": False})
+    return exact, routed
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_random_trees_engine_facade(data, engine_pair, vocab_terms):
+    """Round-6 order 5: the random-tree generator through Engine.search.
+    The forced-pruned engine must match the pruning-disabled twin on
+    result ids, 0-100 scores AND totals for arbitrary compositions —
+    simple shapes take the pruned tier (OR/weighted-OR now with the
+    exact count-only total plan), everything else must fall through to
+    the identical exact path."""
+    from yetisearch_spark.engine import SearchQuery
+    terms, prefixes = vocab_terms
+    q = data.draw(_tree_strategy(terms, prefixes))
+    limit = data.draw(st.sampled_from([5, 20]))
+    offset = data.draw(st.sampled_from([0, 3]))
+    exact, routed = engine_pair
+    sq = SearchQuery(query=q, limit=limit, offset=offset, bypass_cache=True)
+    a = exact.search("p", sq)
+    b = routed.search("p", sq)
+    assert b["total"] == a["total"], q
+    assert "total_mode" not in b, q
+    assert [r["id"] for r in b["results"]] == \
+           [r["id"] for r in a["results"]], (q, limit, offset)
+    assert [r["score"] for r in b["results"]] == \
+           [r["score"] for r in a["results"]], (q, limit, offset)

@@ -181,3 +181,72 @@ def test_interrupted_merge_recovery(spark, tmp_path):
     assert 99 not in list_segments(out)
     assert not os.path.exists(os.path.join(segment_dir(out, new_seg),
                                            "merge_sources.json"))
+
+
+def test_crash_after_rename_recovers_exact_state(spark, tmp_path,
+                                                 monkeypatch):
+    """Round-6 advice (medium): a crash between the merged-segment rename
+    and the tombstone/delta-table swap used to leave the OLD deltas
+    double-subtracting victims the merged segment had already applied
+    physically (df/cf drift, permanent). The commit marker now records
+    the whole post-rename step list; recovery replays it. Simulate the
+    crash by no-op'ing _complete_merge_commit during the merge, recover,
+    and assert the state is identical to a clean merge — delta exactness
+    vs a full compaction, sources gone, high_water ratcheted."""
+    import yetisearch_spark.streaming as st
+
+    out, pdf = _build_with_segments(spark, tmp_path, seed=77)
+    live = GlobalSegmentedIndex(spark, out, cache_docs=False,
+                                cache_postings=False)
+    hits = sorted(r["doc_id"] for r in live.search("data", k=400).collect())
+    base_victims = [d for d in hits if d < 400][:3]
+    seg_victims = [d for d in hits if d >= 400][:3]
+    live.close()
+    assert base_victims and seg_victims
+    delete_docs(spark, out, base_victims + seg_victims)
+    hw_before = high_water_doc_id(out)
+
+    monkeypatch.setattr(st, "_complete_merge_commit",
+                        lambda *a, **k: None)
+    merge_segments(spark, out, epochs=list_segments(out))
+    monkeypatch.undo()
+
+    # crash-window state: merged segment AND sources on disk, marker
+    # present, old tombstone/delta tables still in place, .rewrite side
+    # dirs parked
+    markers = [ep for ep in list_segments(out) if os.path.exists(
+        os.path.join(segment_dir(out, ep), "merge_sources.json"))]
+    assert len(markers) == 1
+    assert len(list_segments(out)) > 1
+
+    st._finish_interrupted_merge(out)
+    st._finish_interrupted_merge(out)   # idempotent replay
+
+    segs = list_segments(out)
+    assert len(segs) == 1
+    assert not os.path.exists(os.path.join(segment_dir(out, segs[0]),
+                                           "merge_sources.json"))
+    # segment victims applied physically; only base victims remain, and
+    # the delta table was swapped (not left double-subtracting)
+    tomb = load_tombstones(spark, out)
+    assert sorted(r["doc_id"] for r in tomb.collect()) == \
+        sorted(base_victims)
+    assert high_water_doc_id(out) >= hw_before
+
+    live = GlobalSegmentedIndex(spark, out, cache_docs=False,
+                                cache_postings=False)
+    comp = str(tmp_path / "crash_compacted")
+    from yetisearch_spark.streaming import compact
+    compact(spark, out, comp)
+    cidx = SearchIndex(spark, comp, cache_postings=False, cache_docs=False)
+    for t in ("data", "process"):
+        assert live.term_stats_for([t]) == cidx.term_stats_for([t]), t
+    a = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
+         live.search("data", k=100, with_docs=True).collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["score"] for r in
+         cidx.search("data", k=100, with_docs=True).collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key] == pytest.approx(b[key], rel=1e-9), key
+    live.close()
+    cidx.close()

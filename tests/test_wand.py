@@ -138,9 +138,10 @@ def test_weighted_or_random_compositions(index):
 
 
 def test_weighted_or_cold_phrase_df_routes_exact(spark, index):
-    """Without a cached standalone phrase df the weighted rule cannot
-    price the phrase slot — the query must route to the exact path (and
-    still be correct)."""
+    """Without a match cache (cache_postings=False) the recursive
+    phrase-df fill would rebuild the phrase table per query — a cold
+    phrase df must still route to the exact path there (and be
+    correct)."""
     from yetisearch_spark.query import SearchIndex
     cold = SearchIndex(spark, index.index_dir, cache_postings=False,
                        cache_docs=False)
@@ -152,6 +153,41 @@ def test_weighted_or_cold_phrase_df_routes_exact(spark, index):
     got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
     assert got == _exact(index, q)
     cold.close()
+
+
+def test_weighted_or_cold_phrase_df_fills_pruned(spark, index):
+    """Round 6 (verdict order 2): first sight of a phrase-bearing
+    weighted OR on a fresh cache-enabled replica must NOT abandon
+    pruning — the slot df comes from counting the count-exact pruned
+    phrase table, which also lands in the match cache for phase 2."""
+    from yetisearch_spark.query import SearchIndex, parse_query
+    fresh = SearchIndex(spark, index.index_dir)
+    try:
+        t, _ = _common_terms(index)
+        q = f'"{t[0]} {t[1]}" OR "{t[2]}" OR NEAR("{t[1]}" "{t[3]}", 4)'
+        node = parse_query(q)
+        ph = node.children[0]
+        assert fresh._df_count_cache.get(("ph", ph.terms)) is None
+        df = pruned_topk(fresh, q, k=10, gate_blocks=0)
+        got = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+        stats = getattr(df, "_pruning_stats", None)
+        # the route stayed pruned: stats are prune counters, not a
+        # gated-with-reason dict
+        assert stats is not None and "reason" not in stats, stats
+        assert "blocks_decoded" in stats
+        # the fill is cached for later queries (df AND the table itself)
+        assert fresh._df_count_cache.get(("ph", ph.terms)) is not None
+        assert ("ph", ph.terms) in fresh._match_cache
+        assert got == _exact(index, q)
+        # dead phrase child: fills df=0 and stays pruned
+        q2 = f'"{t[0]} zzznope" OR "{t[2]}"'
+        df2 = pruned_topk(fresh, q2, k=10, gate_blocks=0)
+        got2 = [(r["doc_id"], round(r["score"], 9)) for r in df2.collect()]
+        s2 = getattr(df2, "_pruning_stats", None)
+        assert s2 is not None and "reason" not in s2, s2
+        assert got2 == _exact(index, q2)
+    finally:
+        fresh.close()
 
 
 def test_fallback_for_unsupported_shape(index):

@@ -212,6 +212,19 @@ class Engine:
             # block-estimate defaults; 0 forces pruning for eligible
             # shapes; negative disables the facade route)
             "pruned_gate_blocks": None,
+            # result-total policy for pruned OR / weighted-OR pages
+            # (their pruned frame is page-exact but not count-complete):
+            #   exact    — default; total from wand's count-only plan
+            #              (head-df base + block-probed anti-join —
+            #              position-free, never a full head decode).
+            #              Matches the reference's per-search COUNT
+            #              (src/Search/SearchEngine.php:207) exactly.
+            #   estimate — zero-job df-sum upper bound (documented
+            #              divergence; result carries total_mode).
+            #   deferred — no count at all; total = fetched candidates
+            #              (lower bound, ≤ overfetch window; documented
+            #              divergence; result carries total_mode).
+            "total_mode": "exact",
             "field_weights": {},
             "primary_fields": ("title", "h1", "name", "label"),
             "primary_field_limit": 20,
@@ -475,7 +488,8 @@ class Engine:
 
     def _page_and_total_enriched(self, scores: DataFrame, docs: DataFrame,
                                  n: int, plan_key=None,
-                                 total_literal: int | None = None
+                                 total_literal: int | None = None,
+                                 total_frame: tuple | None = None
                                  ) -> tuple[list[dict], int]:
         """Hot serving path (no filters/sort/facets): top-n over the bare
         (doc_id, score) match set FIRST, then broadcast-join only the page
@@ -486,14 +500,22 @@ class Engine:
 
         ``total_literal``: driver-known exact total (the pruned
         single-term route: total = df) — the count branch becomes a
-        1-row literal instead of an aggregation over the match set."""
+        1-row literal instead of an aggregation over the match set.
+        ``total_frame``: (frame, base) from wand's count-only plan (the
+        pruned OR/weighted-OR route, whose ``scores`` frame is NOT
+        count-complete) — the count branch becomes
+        base + count(frame)."""
         order = [("score", False), ("doc_id", True)]
 
         def build():
             topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
             page = (docs.join(F.broadcast(topk), "doc_id")
                     .withColumn("_total", F.lit(None).cast("long")))
-            if total_literal is not None:
+            if total_frame is not None:
+                cf, base = total_frame
+                stats = cf.agg((F.count(F.lit(1)) + F.lit(int(base)))
+                               .cast("long").alias("_total"))
+            elif total_literal is not None:
                 stats = scores.sparkSession.range(1).select(
                     F.lit(int(total_literal)).cast("long").alias("_total"))
             else:
@@ -595,13 +617,18 @@ class Engine:
         # frame, and the result TOTAL stays exact (single term: total =
         # df, zero jobs, blocks of one term partition its docs; AND: the
         # rule keeps every block that can hold an intersection doc, so
-        # the count branch over the pruned frame is exact). Flat OR is
-        # page-exact but not count-complete, and the engine contract
-        # reports exact totals (reference runs a full storage count per
-        # search, SearchEngine.php:207) — OR therefore only takes this
-        # route via SearchIndex.search, not the engine.
+        # the count branch over the pruned frame is exact). OR and the
+        # combined-fuzzy weighted-OR (round-6): page from the pruned
+        # frame, total by policy — default ``total_mode: exact`` runs
+        # wand's count-only plan (head df as a free base + a block-
+        # probed anti-join over the rare slots; position-free, never a
+        # full head decode), matching the reference's per-search COUNT
+        # (SearchEngine.php:207) without the 40× positional exact path.
         scores = None
         pruned_total: int | None = None
+        pruned_count: tuple | None = None   # (frame, base) count branch
+        total_deferred = False
+        total_mode_used = "exact"
         if (node is not None and not docs_in_set and not two_pass
                 and bm25_weights is None
                 and (idx.pruned_gate_blocks is None
@@ -612,6 +639,28 @@ class Engine:
             if ps is not None and pinfo.get("count_exact"):
                 scores = ps
                 pruned_total = pinfo.get("total")
+            elif ps is not None and pinfo.get("exact_count") is not None:
+                mode = str(self.config.get("total_mode", "exact"))
+                if mode == "estimate":
+                    scores = ps
+                    pruned_total = int(pinfo.get("total_estimate") or 0)
+                    total_mode_used = "estimate"
+                elif mode == "deferred":
+                    scores = ps
+                    total_deferred = True
+                    pruned_total = -1   # literal placeholder, fixed below
+                    total_mode_used = "deferred"
+                else:   # exact (default)
+                    cf, base = pinfo["exact_count"]()
+                    scores = ps
+                    if cf is None:
+                        pruned_total = int(base)
+                    else:
+                        pruned_count = (cf, int(base))
+            if scores is not None and pinfo.get("handles"):
+                # per-query persisted frames from the weighted-OR phase 2
+                # — released after the page action like exact-path tables
+                scores._ys_handles = pinfo["handles"]
         if scores is None:
             scores = idx.match_scores(node, weights=bm25_weights)
         if getattr(idx, "_plan_volatile", False):
@@ -672,7 +721,11 @@ class Engine:
             else:
                 rows, total = self._page_and_total_enriched(
                     matched, idx._docs, fetch_n, plan_key=plan_key,
-                    total_literal=pruned_total)
+                    total_literal=pruned_total, total_frame=pruned_count)
+            if total_deferred:
+                # deferred policy: the fetched-candidate count is the
+                # (lower-bound) total — no count plan ran at all
+                total = len(rows)
 
             # ---- driver-side processResults (row-level, ≤ fetch_n rows) ----
             if rescore_live and not route_live:
@@ -769,6 +822,11 @@ class Engine:
                 "count": len(results),
                 "search_time": round(time.time() - t0, 4),
             }
+            if total_mode_used != "exact":
+                # non-default totals policy: surface the divergence on
+                # the result (estimate = df-sum upper bound; deferred =
+                # fetched-candidate lower bound)
+                out["total_mode"] = total_mode_used
             if total == 0 and q.query.strip():
                 # "did you mean" on empty results (reference:
                 # src/Search/SearchEngine.php:246-249)

@@ -425,7 +425,7 @@ class SearchIndex:
     #: decoded-postings LRU: hot query terms keep their decoded posting
     #: DataFrames persisted across queries (the serving analog of the
     #: reference's prepared-statement + page cache, K4/K5 family).
-    #: Sized above warm()'s default prefill (256 light + 64 positional)
+    #: Sized above warm()'s default prefill (64 light + 32 positional)
     #: plus working-set headroom; frames spill MEMORY_AND_DISK, so the
     #: bound is eviction policy, not OOM protection.
     DECODED_CACHE_MAX = 512
@@ -514,7 +514,7 @@ class SearchIndex:
         n = self._docs.count() if self._docs_cached else 0
         self.term_stats_for(["_warm_probe"])   # triggers the vocab load
         warmed = 0
-        if top_df_terms and self._cache_postings:
+        if (top_df_terms or positional_terms) and self._cache_postings:
             rows = (self._term_stats.orderBy(F.desc("df"))
                     .limit(max(top_df_terms, positional_terms))
                     .select("term").collect())

@@ -42,8 +42,11 @@ def list_segments(index_dir: str) -> list[int]:
     out = []
     for name in os.listdir(root):
         if name.startswith("epoch="):
+            suffix = name.split("=", 1)[1]
+            if not suffix.isdigit():
+                continue   # in-flight build dirs (epoch=N.building)
             if os.path.exists(os.path.join(root, name, "manifest.json")):
-                out.append(int(name.split("=", 1)[1]))
+                out.append(int(suffix))
     return sorted(out)
 
 
@@ -206,17 +209,31 @@ def _record_tombstones(spark: SparkSession, index_dir: str,
         n_new = victims.count()
         if n_new == 0:
             return 0
-        seg = SegmentedIndex(spark, index_dir)
-        try:
-            deltas = (seg.docs().join(victims, "doc_id", "left_semi")
-                      .select("doc_id", F.explode("tokens").alias("term"))
-                      .groupBy("term")
-                      .agg(F.countDistinct("doc_id").cast("long").alias("df"),
-                           F.count(F.lit(1)).cast("long").alias("cf")))
-            deltas.write.mode("append").parquet(deleted_df_path(index_dir))
-        finally:
-            seg.close()
+        # tombstone rows FIRST, deltas second: a crash between the two
+        # writes then only OVER-counts df for the victims (deleted docs
+        # still counted — the conservative pre-delta behavior, healed at
+        # the next compaction). The reverse order would permanently
+        # UNDER-count df for docs that stay visible: scores drift low and
+        # fully-"deleted" terms vanish from the vocabulary (df>0 filter)
+        # while their docs are still served. A retried delete dedupes the
+        # already-tombstoned victims away, so the delta append is
+        # all-or-nothing per victim set.
         victims.write.mode("append").parquet(tombstone_path(index_dir))
+        # the delta scan reads the RAW docs union (no tombstone filter —
+        # the victims were just tombstoned above, so a SegmentedIndex
+        # view would hide exactly the rows whose tokens we need)
+        from .build import load_docs
+        raw = None
+        for p in [index_dir] + [segment_dir(index_dir, e)
+                                for e in list_segments(index_dir)]:
+            dd = load_docs(spark, p, load_manifest(p))
+            raw = dd if raw is None else raw.unionByName(dd)
+        deltas = (raw.join(victims, "doc_id", "left_semi")
+                  .select("doc_id", F.explode("tokens").alias("term"))
+                  .groupBy("term")
+                  .agg(F.countDistinct("doc_id").cast("long").alias("df"),
+                       F.count(F.lit(1)).cast("long").alias("cf")))
+        deltas.write.mode("append").parquet(deleted_df_path(index_dir))
         bump_epoch(index_dir)
         return n_new
     finally:
@@ -567,28 +584,71 @@ class GlobalSegmentedIndex(SearchIndex):
         super().close()
 
 
+def _complete_merge_commit(index_dir: str, merged_ep: int,
+                           info: dict) -> None:
+    """Post-rename steps of a merge commit, replayable from the marker
+    (idempotent — runs on the happy path AND from crash recovery, any
+    number of times):
+
+      1. swap the rewritten tombstone / deleted-df tables into place
+         (or drop them when no victims survive) — BEFORE the source
+         segments go away, so no observable state ever has the merged
+         segment (victims physically applied) coexisting with the OLD
+         delta table (df would double-subtract; round-5 advice).
+      2. remove the source segments.
+      3. bump the epoch, ratcheting high_water captured PRE-merge — a
+         physical tombstone apply shrinks the summed doc count, and
+         without the ratchet the next append could re-allocate doc_ids
+         still held by live docs (round-5 advice).
+      4. drop the marker (the commit is now fully applied).
+
+    Idempotency: step 1 keys on the .rewrite side dirs still existing;
+    steps 2/4 are existence-guarded; step 3 may double-bump on replay
+    (epoch is a monotonic counter — harmless)."""
+    import shutil
+
+    tomb_tmp = tombstone_path(index_dir) + ".rewrite"
+    dd_tmp = deleted_df_path(index_dir) + ".rewrite"
+    if info.get("tomb_rewrite"):
+        if int(info.get("n_rem", 0)):
+            if os.path.isdir(tomb_tmp):
+                shutil.rmtree(tombstone_path(index_dir), ignore_errors=True)
+                os.replace(tomb_tmp, tombstone_path(index_dir))
+            if os.path.isdir(dd_tmp):
+                shutil.rmtree(deleted_df_path(index_dir), ignore_errors=True)
+                os.replace(dd_tmp, deleted_df_path(index_dir))
+        else:
+            shutil.rmtree(tombstone_path(index_dir), ignore_errors=True)
+            shutil.rmtree(deleted_df_path(index_dir), ignore_errors=True)
+    for s in info.get("sources", []):
+        if s != merged_ep:
+            shutil.rmtree(segment_dir(index_dir, s), ignore_errors=True)
+    hw = info.get("high_water")
+    bump_epoch(index_dir, high_water=int(hw) if hw is not None else None)
+    marker = os.path.join(segment_dir(index_dir, merged_ep),
+                          "merge_sources.json")
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
 def _finish_interrupted_merge(index_dir: str) -> None:
     """Crash recovery for merge_segments: the merge commits by renaming
-    the built segment in and THEN removing its source segments; a kill
-    in between leaves both on disk (docs double-counted). The marker
-    written at commit time names the sources — remove any still present,
-    then drop the marker. Called from mutation paths (append/merge),
-    never from read helpers (round-4 advice: no fs mutation in read
-    helpers)."""
+    the built segment in; everything after the rename (tombstone/delta
+    table swap, source removal, epoch bump) is recorded in the
+    merge_sources.json marker and replayed here via
+    _complete_merge_commit. A kill anywhere in that window recovers to
+    the fully-committed state. Called from mutation paths (append/
+    merge), never from read helpers (round-4 advice: no fs mutation in
+    read helpers)."""
     import json
-    import shutil
 
     for ep in list_segments(index_dir):
         marker = os.path.join(segment_dir(index_dir, ep),
                               "merge_sources.json")
         if os.path.exists(marker):
             with open(marker) as f:
-                sources = json.load(f).get("sources", [])
-            for s in sources:
-                if s != ep:
-                    shutil.rmtree(segment_dir(index_dir, s),
-                                  ignore_errors=True)
-            os.remove(marker)
+                info = json.load(f)
+            _complete_merge_commit(index_dir, ep, info)
 
 
 def merge_segments(spark: SparkSession, index_dir: str,
@@ -625,6 +685,11 @@ def merge_segments(spark: SparkSession, index_dir: str,
     epochs = sorted(e for e in set(epochs) if e in segs)
     if len(epochs) < 2:
         return {}
+    # allocated-id ceiling BEFORE anything changes: the merge physically
+    # drops tombstoned docs, shrinking the summed count below the ids
+    # already handed out — the ratchet (committed below via the marker)
+    # keeps append_segment from re-allocating a live id
+    hw = high_water_doc_id(index_dir)
 
     # merged segments live in their own epoch-number range: naming the
     # result max(epochs)+1 COLLIDED with the caller's next streaming
@@ -681,24 +746,20 @@ def merge_segments(spark: SparkSession, index_dir: str,
              .write.parquet(dd_tmp))
         remaining.unpersist()
 
-    # commit: marker first (makes a crash between the rename and the
-    # source removals recoverable via _finish_interrupted_merge)
+    # commit: the marker records EVERY post-rename step (tombstone/delta
+    # swap, sources, pre-merge high_water), so a crash anywhere after the
+    # rename replays to the fully-committed state via
+    # _finish_interrupted_merge → _complete_merge_commit. The rename IS
+    # the commit point.
+    info = {"sources": epochs, "tomb_rewrite": tomb is not None,
+            "n_rem": int(n_rem), "high_water": int(hw)}
     with open(os.path.join(tmp, "merge_sources.json"), "w") as f:
-        json.dump({"sources": epochs}, f)
+        json.dump(info, f)
     os.replace(tmp, out)
-    for d in dirs:
-        shutil.rmtree(d)
-    os.remove(os.path.join(out, "merge_sources.json"))
-    if tomb is not None:
-        shutil.rmtree(tombstone_path(index_dir), ignore_errors=True)
-        shutil.rmtree(deleted_df_path(index_dir), ignore_errors=True)
-        if n_rem:
-            os.replace(tomb_tmp, tombstone_path(index_dir))
-            os.replace(dd_tmp, deleted_df_path(index_dir))
+    _complete_merge_commit(index_dir, new_ep, info)
     # the swaps bypassed Spark's write path — drop stale file listings
     # and cached relations for the whole subtree
     spark.catalog.refreshByPath(index_dir)
-    bump_epoch(index_dir)
     return manifest
 
 

@@ -69,6 +69,13 @@ RANGE_BCAST_CAP = 200_000
 #: (the block-max override recomputation broadcasts the victims'
 #: (term, doc) pairs — bounded memory only while deletes are bounded)
 OVERRIDES_TOMB_CAP = 1_000_000
+#: exact-total count plan (OR / weighted-OR): above this many ESTIMATED
+#: candidate docs in the non-head slots, the head-block membership probe
+#: (a broadcast nested-loop block join, O(head_blocks × candidates)) is
+#: no longer a clear win — the count falls back to one distinct count
+#: over full light decodes, still the position-free (~6× cheaper) side
+#: of the exact path
+COUNT_PROBE_CAP = 50_000
 #: cost gate: below this many estimated blocks the exact path (which
 #: reuses the pinned decoded-postings cache and runs zero planning jobs)
 #: beats pruning — phase 1 pays a metadata job the exact path never
@@ -182,6 +189,156 @@ def _wor_plan(node, stats, index: SearchIndex) -> dict:
             "need_pos": need_pos}
 
 
+def _count_estimate(index: SearchIndex, node, shape: str,
+                    stats: dict) -> int:
+    """Zero-job upper bound on the OR / weighted-OR match count: the sum
+    of per-slot dfs (bare term df; cached standalone phrase df; NEAR
+    bounded by its rarest member), capped at n_docs. Backs the engine's
+    ``total_mode: estimate`` policy — a documented divergence from the
+    reference's exact per-search count."""
+    from .query import Near
+
+    est = 0
+    if shape == "or":
+        est = sum(stats[c.terms[0]][0]
+                  for c in dict.fromkeys(node.children)
+                  if c.terms[0] in stats)
+    else:
+        for c in dict.fromkeys(node.children):
+            if isinstance(c, Phrase) and len(c.terms) == 1:
+                if c.terms[0] in stats:
+                    est += stats[c.terms[0]][0]
+            elif isinstance(c, Phrase):
+                if all(t in stats for t in c.terms):
+                    est += int(index._df_count_cache.get(("ph", c.terms))
+                               or 0)
+            elif isinstance(c, Near):
+                if all(p.terms[0] in stats for p in c.phrases):
+                    est += min(stats[p.terms[0]][0] for p in c.phrases)
+    return min(int(est), int(index.n_docs))
+
+
+def _probe_term_members(index: SearchIndex, term: str,
+                        cand: DataFrame) -> DataFrame:
+    """doc_ids among ``cand`` that contain ``term``, decoding ONLY the
+    term's blocks whose doc range covers a candidate: block metadata
+    (min_doc/max_doc) joins the broadcast candidate set — at skew this
+    decodes O(|cand|) blocks instead of O(df) (the head term's full
+    light decode IS the cost of a naive union count). The output may
+    contain extra docs from partially-covered blocks — callers only use
+    it to REMOVE cand rows (anti-join), so a superset is exact."""
+    from .query import _DECODED_SCHEMA, _decode_factory
+    from .xxhash64 import bucket_of
+
+    scan = (index._postings
+            .where(F.col("bucket") == bucket_of(term, index.num_buckets))
+            .where(F.col("term") == term))
+    hit = scan.join(F.broadcast(cand),
+                    (F.col("doc_id") >= F.col("min_doc"))
+                    & (F.col("doc_id") <= F.col("max_doc")), "left_semi")
+    dec = hit.select("term", "data").mapInPandas(
+        _decode_factory(False), schema=_DECODED_SCHEMA)
+    # no tombstone filter: a hidden doc is never in cand, so it cannot
+    # be removed by the anti-join
+    return dec.select("doc_id")
+
+
+def _exact_count_thunk(index: SearchIndex, node, shape: str, stats: dict,
+                       frames: dict):
+    """Builder for the EXACT result total of a pruned OR / weighted-OR
+    page (the pruned scored frame is top-k-exact but NOT count-complete:
+    docs whose every block fell below θ are absent).
+
+    Returns a zero-argument callable → (count_frame, base) with
+
+        total = base + count(count_frame)      (frame None → total = base)
+
+    The plan never fully decodes the BIGGEST bare-term slot (the head —
+    at skew, virtually the whole cost of the match set): its df is the
+    free ``base`` (term stats are delete-exact), and the union of the
+    remaining slots' doc sets — light decodes for bare terms, the
+    complete pruned positional tables for phrase/NEAR slots — is
+    anti-joined against a block-probed head membership set
+    (_probe_term_members). Candidate size is bounded by COUNT_PROBE_CAP
+    (estimated from dfs, zero jobs); above it the plan is one distinct
+    count over full light decodes. A head whose light frame is already
+    pinned (warm() prefill / prior queries) skips the probe and
+    anti-joins the in-memory frame directly.
+
+    Reference parity: the reference runs a full storage COUNT per search
+    (src/Search/SearchEngine.php:207) — this is that count, priced for
+    10^12 docs."""
+    from .query import Near
+
+    def thunk():
+        bare: dict[str, int] = {}
+        pos_parts: list[tuple[int, DataFrame]] = []
+        if shape == "or":
+            for c in dict.fromkeys(node.children):
+                t = c.terms[0]
+                if t in stats:
+                    bare[t] = stats[t][0]
+        else:
+            for c in dict.fromkeys(node.children):
+                if isinstance(c, Phrase) and len(c.terms) == 1:
+                    if c.terms[0] in stats:
+                        bare[c.terms[0]] = stats[c.terms[0]][0]
+                elif isinstance(c, Phrase):
+                    if not all(t in stats for t in c.terms):
+                        continue
+                    df_ph = index._df_count_cache.get(("ph", c.terms))
+                    if not df_ph:
+                        continue  # dead slot matches nothing
+                    tbl = index._match_cache.get(("ph", c.terms))
+                    if tbl is None:
+                        tbl = index._phrase_match(c, frames=frames)
+                    pos_parts.append((int(df_ph), tbl.select("doc_id")))
+                elif isinstance(c, Near):
+                    if not all(p.terms[0] in stats for p in c.phrases):
+                        continue  # an OOV member kills the whole NEAR
+                    ptables = {p: frames[p.terms[0]].select(
+                        "doc_id", "tf", "doc_len", "positions")
+                        for p in set(c.phrases)}
+                    ntbl = index._near_table(c, ptables)
+                    est = min(stats[p.terms[0]][0] for p in c.phrases)
+                    pos_parts.append((int(est), ntbl.select("doc_id")))
+        if not bare and not pos_parts:
+            return None, 0
+        head = max(bare, key=bare.get) if bare else None
+        parts = [index._decoded_for_term(t, with_positions=False)
+                 .select("doc_id") for t in bare if t != head]
+        parts += [f for _, f in pos_parts]
+        if not parts:
+            return None, int(bare[head])   # single live bare slot
+
+        def union_distinct(ps):
+            u = ps[0]
+            for p in ps[1:]:
+                u = u.unionByName(p)
+            return u.dropDuplicates()
+
+        if head is None:
+            return union_distinct(parts), 0
+        hot_light = ("t", head, False) in index._decoded_cache
+        hot = hot_light or ("t", head, True) in index._decoded_cache
+        rest_est = sum(df for t, df in bare.items() if t != head) \
+            + sum(e for e, _ in pos_parts)
+        if rest_est > COUNT_PROBE_CAP and not hot:
+            parts.append(index._decoded_for_term(head,
+                                                 with_positions=False)
+                         .select("doc_id"))
+            return union_distinct(parts), 0
+        cand = union_distinct(parts)
+        if hot:
+            members = index._decoded_for_term(
+                head, with_positions=not hot_light).select("doc_id")
+        else:
+            members = _probe_term_members(index, head, cand)
+        return cand.join(members, "doc_id", "left_anti"), int(bare[head])
+
+    return thunk
+
+
 def pruned_topk(index: SearchIndex, query, k: int = 10,
                 driver_cap: int = DRIVER_CAP,
                 gate_blocks: int | None = None) -> DataFrame:
@@ -278,17 +435,41 @@ def pruned_scored(index: SearchIndex, node, k: int,
     wor = None
     if shape == "wor":
         # the weighted-OR rule needs every multi-term phrase child's
-        # STANDALONE df for its slot idf — the pruned frames cannot
+        # STANDALONE df for its slot idf — the pruned WOR frames cannot
         # provide it (OR pruning drops docs below θ that still count
-        # toward df). Serve from the shared df cache (populated by the
-        # exact path's batched count or a prior pruned-phrase query);
-        # cold dfs route to the exact path, which fills the cache.
+        # toward df). A COLD df no longer routes the whole query to the
+        # exact path (round-5 verdict order 2): the pruned PHRASE route
+        # is count-exact (the AND rule over constituents keeps every
+        # candidate block with COMPLETE positions), so the pruned phrase
+        # table's count IS the slot df. Fill it through a recursive
+        # pruned-phrase call — gate forced: a one-time fill whose table
+        # lands in the shared match cache for phase 2 to reuse — count
+        # it once, and cache the df next to the exact path's batched
+        # counts. First sight of a phrase-bearing fuzzy query on a fresh
+        # replica now stays on the pruned path end to end.
         for c in node.children:
-            if (isinstance(c, Phrase) and len(c.terms) > 1
-                    and all(t in stats for t in c.terms)
-                    and index._df_count_cache.get(("ph", c.terms)) is None):
-                info["reason"] = "cold-phrase-df"
-                return None, info
+            if not (isinstance(c, Phrase) and len(c.terms) > 1):
+                continue
+            key = ("ph", c.terms)
+            if (all(t in stats for t in c.terms)
+                    and index._df_count_cache.get(key) is None):
+                if not index._cache_postings:
+                    # no match cache → the fill's table would be rebuilt
+                    # every query; the exact path is the better deal
+                    info["reason"] = "cold-phrase-df"
+                    return None, info
+                sub, sinfo = pruned_scored(index, c, k,
+                                           driver_cap=driver_cap,
+                                           gate_blocks=0)
+                if index._df_count_cache.get(key) is None:
+                    tbl = index._match_cache.get(key)
+                    if tbl is not None:
+                        index._df_count_cache[key] = int(tbl.count())
+                    elif sub is None and sinfo.get("reason") == "empty":
+                        index._df_count_cache[key] = 0
+                    else:   # unexpected route — keep the old behavior
+                        info["reason"] = "cold-phrase-df"
+                        return None, info
         wor = _wor_plan(node, stats, index)
         if wor["live_slots"] == 0:
             return None, {"reason": "empty"}
@@ -558,7 +739,11 @@ def pruned_scored(index: SearchIndex, node, k: int,
             score = cc if score is None else score + cc
         out = agg.select("doc_id", score.alias("score"))
         return out, {"gated": False, "shape": shape, "count_exact": False,
-                     "prune_stats": prune_stats, "handles": wor_handles}
+                     "prune_stats": prune_stats, "handles": wor_handles,
+                     "exact_count": _exact_count_thunk(index, node, shape,
+                                                       stats, frames),
+                     "total_estimate": _count_estimate(index, node, shape,
+                                                       stats)}
     if shape == "single":
         t = terms[0]
         scored = frames[t].select(
@@ -618,6 +803,11 @@ def pruned_scored(index: SearchIndex, node, k: int,
                 "count_exact": shape in ("single", "and")}
     if shape == "single":
         out_info["total"] = int(stats[terms[0]][0])
+    elif shape == "or":
+        out_info["exact_count"] = _exact_count_thunk(index, node, shape,
+                                                     stats, frames)
+        out_info["total_estimate"] = _count_estimate(index, node, shape,
+                                                     stats)
     return scored, out_info
 
 
