@@ -142,3 +142,61 @@ def test_engine_facade_wor_total_modes(spark, idx_dir):
         assert d["total"] == min(a["total"], 20), q   # default limit=20
         assert [r["id"] for r in d["results"]] == \
                [r["id"] for r in a["results"]], q
+
+
+def test_search_after_cursor_pages(spark, idx_dir):
+    """O7 stretch: keyset deep pagination — walking pages with
+    next_cursor must reproduce the offset path's pages exactly (ids,
+    0-100 scores, totals), while each cursor page only ever sorts
+    ``limit`` rows (the offset path sorts offset+limit). Unsupported
+    shapes must refuse loudly."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    eng = Engine(spark, {"t": idx_dir}, config={"enable_fuzzy": False})
+    t = _common_terms(eng.index("t"))
+    q = f"{t[0]} OR {t[2]}"
+    pages_off = [eng.search("t", SearchQuery(query=q, limit=7,
+                                             offset=i * 7))
+                 for i in range(3)]
+    cur = None
+    for i in range(3):
+        r = eng.search("t", SearchQuery(query=q, limit=7,
+                                        search_after=cur))
+        assert [x["id"] for x in r["results"]] == \
+               [x["id"] for x in pages_off[i]["results"]], i
+        assert [x["score"] for x in r["results"]] == \
+               [x["score"] for x in pages_off[i]["results"]], i
+        assert r["total"] == pages_off[i]["total"], i
+        cur = r["next_cursor"]
+
+    with pytest.raises(ValueError):
+        eng.search("t", SearchQuery(query=q, limit=5, offset=3,
+                                    search_after=[1.0, 0]))
+    with pytest.raises(ValueError):
+        eng.search("t", SearchQuery(query=q, limit=5, min_score=1.0,
+                                    search_after=[1.0, 0]))
+    with pytest.raises(ValueError):
+        eng.search("t", SearchQuery(query=q, limit=5,
+                                    sort={"n_chars": "desc"},
+                                    search_after=[1.0, 0]))
+    with pytest.raises(ValueError):   # boosts rescore the page (R2)
+        eng.search("t", SearchQuery(query=q, limit=5,
+                                    boost_fields={"text": 2.0},
+                                    search_after=[1.0, 0]))
+
+
+def test_searchindex_after_param(spark, idx_dir):
+    """SearchIndex.search(after=): raw-score keyset page equals the
+    corresponding slice of a deeper top-k."""
+    idx = SearchIndex(spark, idx_dir)
+    try:
+        t = _common_terms(idx)
+        q = f'"{t[0]}" OR "{t[1]}"'
+        top10 = idx.search(q, k=10).collect()
+        p1 = top10[:5]
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        p2 = idx.search(q, k=5, after=cur).collect()
+        assert [(r["doc_id"], r["score"]) for r in p2] == \
+               [(r["doc_id"], r["score"]) for r in top10[5:]]
+    finally:
+        idx.close()

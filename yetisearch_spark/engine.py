@@ -60,6 +60,14 @@ class SearchQuery:
     boost_fields: dict[str, float] = field(default_factory=dict)
     result_fields: list[str] = field(default_factory=list)  # F5 projection
     bypass_cache: bool = False
+    #: keyset deep-pagination cursor (O7 stretch): the ``next_cursor``
+    #: value ([raw_score, doc_id]) from the previous page's result.
+    #: Scale-safe alternative to ``offset`` — offset sorts offset+limit
+    #: rows per page, the cursor always sorts ``limit``. Standard
+    #: relevance path only (no sort/filters/facets/geo/fuzzy/boosts/
+    #: offset/min_score — those reorder or re-score pages, making a raw-
+    #: score cursor unsound); anything else raises ValueError.
+    search_after: Optional[list] = None
     #: geo filters (reference SearchQuery::near/within/sortByDistance,
     #: src/Models/SearchQuery.php + URLQueryParser geo[...] params):
     #:   {"near": {"lat","lng","radius"[,"units"]},
@@ -557,7 +565,9 @@ class Engine:
              sorted((k, sorted(v.items())) for k, v in q.facets.items()),
              sorted((k, sorted(v.items())) for k, v in q.aggregations.items()),
              sorted(q.boost_fields.items()), repr(q.geo_filters),
-             q.result_fields)).encode()).hexdigest())
+             q.result_fields,
+             tuple(q.search_after) if q.search_after else None)
+            ).encode()).hexdigest())
         cache_key = None
         if not q.bypass_cache:
             cache_key = plan_key
@@ -624,12 +634,23 @@ class Engine:
         # probed anti-join over the rare slots; position-free, never a
         # full head decode), matching the reference's per-search COUNT
         # (SearchEngine.php:207) without the 40× positional exact path.
+        # O7 keyset cursor: strictly-after filter on RAW (score, doc_id).
+        # Exact path only — the pruned tier's θ bounds the TOP-k, so
+        # blocks that cannot reach page 1 may still hold page n.
+        cursor_live = bool(q.search_after)
+        if cursor_live and (docs_in_set or two_pass or overfetch
+                            or q.offset or q.min_score > 0):
+            raise ValueError(
+                "search_after supports the standard relevance path only "
+                "(no sort/filters/facets/geo/fuzzy/boosts/offset/"
+                "min_score)")
         scores = None
         pruned_total: int | None = None
         pruned_count: tuple | None = None   # (frame, base) count branch
         total_deferred = False
         total_mode_used = "exact"
         if (node is not None and not docs_in_set and not two_pass
+                and not cursor_live
                 and bm25_weights is None
                 and (idx.pruned_gate_blocks is None
                      or idx.pruned_gate_blocks >= 0)):
@@ -668,6 +689,16 @@ class Engine:
         handles = getattr(scores, "_ys_handles", [])
         matched = apply_filters(idx._docs, q.filters).join(scores, "doc_id") \
             if docs_in_set else scores
+        if cursor_live:
+            # page = next limit rows strictly after the cursor; TOTAL
+            # stays the full match count (same value every page, like
+            # the offset path) via the unfiltered count branch
+            s_a, d_a = float(q.search_after[0]), int(q.search_after[1])
+            pruned_count = (scores, 0)
+            matched = matched.where(
+                (F.col("score") < F.lit(s_a))
+                | ((F.col("score") == F.lit(s_a))
+                   & (F.col("doc_id") > F.lit(d_a))))
         if geo_live:
             need_distance = bool(dist_sort) or dw > 0 or "distance" in q.facets
             matched = self._apply_geo(matched, geo, geo_units, latc, lngc,
@@ -726,6 +757,13 @@ class Engine:
                 # deferred policy: the fetched-candidate count is the
                 # (lower-bound) total — no count plan ran at all
                 total = len(rows)
+            # raw (score, doc_id) pairs BEFORE normalization/penalties
+            # mutate the rows — the keyset cursor is on raw scores, and
+            # only the standard path keeps the fetched order
+            raw_pairs = ([(int(d["doc_id"]), float(d["score"]))
+                          for d in rows]
+                         if not (docs_in_set or two_pass or overfetch
+                                 or q.min_score > 0) else None)
 
             # ---- driver-side processResults (row-level, ≤ fetch_n rows) ----
             if rescore_live and not route_live:
@@ -740,6 +778,12 @@ class Engine:
                     _sort_rows(rows, order)
 
             w_max = max((d["score"] for d in rows), default=0.0)
+            if cursor_live and len(q.search_after) > 2:
+                # cursor pages normalize by the raw max PAGE 1 used
+                # (propagated via next_cursor[2]) so 0-100 scores stay
+                # comparable across the whole keyset walk — a local page
+                # max would re-inflate every page to 100.0
+                w_max = max(w_max, float(q.search_after[2]))
             if q.min_score > 0 and not route_live:
                 rows = [d for d in rows if d["score"] >= q.min_score]  # F6
 
@@ -774,6 +818,10 @@ class Engine:
                     _sort_rows(rows, [("score", False), ("doc_id", True)])
 
             page = rows[q.offset:q.offset + q.limit]
+            next_cursor = None
+            if raw_pairs and page:
+                d_l, s_l = raw_pairs[q.offset + len(page) - 1]
+                next_cursor = [s_l, d_l, w_max]
 
             results = []
             hl_terms = _query_terms_for_highlight(q.query) if q.highlight else []
@@ -827,6 +875,9 @@ class Engine:
                 # the result (estimate = df-sum upper bound; deferred =
                 # fetched-candidate lower bound)
                 out["total_mode"] = total_mode_used
+            if next_cursor is not None:
+                # feed back as SearchQuery.search_after for the next page
+                out["next_cursor"] = next_cursor
             if total == 0 and q.query.strip():
                 # "did you mean" on empty results (reference:
                 # src/Search/SearchEngine.php:246-249)

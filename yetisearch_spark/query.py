@@ -1557,28 +1557,41 @@ class SearchIndex:
         return out
 
     def search(self, query, k: int = 10, filters: dict | None = None,
-               with_docs: bool = False, weights=None) -> DataFrame:
+               with_docs: bool = False, weights=None,
+               after: tuple | None = None) -> DataFrame:
         """Top-k BM25 search. query: string or AST node; ``weights`` =
         per-field BM25 weights over a multi-field index.
+
+        ``after``: keyset cursor (raw_score, doc_id) of the LAST row of
+        the previous page — returns the next k rows strictly after it in
+        (score DESC, doc_id ASC) order. This is the scale-safe deep-
+        pagination path (O7 stretch): offset pagination sorts
+        offset+k rows per page (page 10⁶ of a 10¹²-doc result set is a
+        10⁷-row TakeOrdered per page), the cursor always sorts k. Cursor
+        queries take the exact path: the pruned tier's θ bounds the
+        TOP-k only — blocks that cannot reach page 1 may still hold page
+        n, so block pruning is unsound under a cursor.
 
         → (doc_id, score) [+ doc columns], best-first, ties by doc_id.
         """
         node = parse_query(query) if isinstance(query, str) else query
         key = ("topk", node, k, self._normalize_weights(weights),
                repr(sorted(filters.items())) if filters else None, with_docs,
-               self.pruned_gate_blocks)
+               self.pruned_gate_blocks,
+               (float(after[0]), int(after[1])) if after else None)
         return self._cached_plan(
             key, lambda: self._search_build(node, k, filters, with_docs,
-                                            weights))
+                                            weights, after=after))
 
-    def _search_build(self, node, k, filters, with_docs, weights) -> DataFrame:
+    def _search_build(self, node, k, filters, with_docs, weights,
+                      after: tuple | None = None) -> DataFrame:
         # block-max pruned tier (D4 facade routing, round-5): eligible
         # simple shapes with enough blocks to make pruning pay route
         # through wand.pruned_scored; results are exactly the exact
         # path's (pruned == exact is correctness-tested at 1e-9). Falls
         # through on any gate reason (shape, tombstones, duplicates,
         # below block estimate, empty).
-        if (not filters and node is not None
+        if (not filters and node is not None and after is None
                 and self._normalize_weights(weights) is None
                 and (self.pruned_gate_blocks is None
                      or self.pruned_gate_blocks >= 0)):
@@ -1603,6 +1616,12 @@ class SearchIndex:
             for col, val in filters.items():
                 docs = docs.where(F.col(col) == F.lit(val))
             scores = scores.join(docs.select("doc_id"), "doc_id")
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scores = scores.where(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s))
+                   & (F.col("doc_id") > F.lit(d))))
         topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if with_docs:
             # hash join docs ⋈ broadcast(top-k): k rows broadcast, the big
