@@ -26,9 +26,10 @@ def _kernel(_):
     import numpy as np
     rng = np.random.default_rng(42)
     t0 = time.time()
-    x = rng.integers(0, 1 << 62, size=2_000_000, dtype=np.int64)
+    x = rng.integers(0, 1 << 62, size=2_000_000, dtype=np.int64) \
+        .astype(np.uint64)
     for _ in range(6):
-        x = (x * np.int64(0x9E3779B97F4A7C15)) ^ (x >> np.int64(29))
+        x = (x * np.uint64(0x9E3779B97F4A7C15)) ^ (x >> np.uint64(29))
         x.sort()
         x = x[::-1].copy()
     return time.time() - t0
@@ -41,26 +42,32 @@ def main() -> None:
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
 
-    per_proc = {}
+    # Throughput at width w: wall-clock of a pool.map of 2w identical
+    # kernels over w workers (2 waves absorb startup skew; the wall
+    # includes stragglers — exactly what a barrier-synchronized Spark
+    # stage pays). kernels/sec = 2w / wall; best of ``rounds``.
+    kps = {}
     for w in widths:
-        medians = []
-        for _ in range(args.rounds):
-            with mp.Pool(w) as pool:
-                times = pool.map(_kernel, range(w))
-            times.sort()
-            medians.append(times[len(times) // 2])
-        medians.sort()
-        per_proc[w] = round(medians[len(medians) // 2], 4)
-        print(f"width {w}: per-proc {per_proc[w]}s", flush=True)
+        best = None
+        with mp.Pool(w) as pool:
+            pool.map(_kernel, range(w))        # warm workers (imports)
+            for _ in range(args.rounds):
+                t0 = time.time()
+                pool.map(_kernel, range(2 * w))
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
+        kps[w] = round(2 * w / best, 3)
+        print(f"width {w}: {kps[w]} kernels/s (best wall {best:.3f}s)",
+              flush=True)
 
     out = {"method": ("pure-python/numpy multiprocessing microbench — "
-                      "identical kernel per process, per-process wall "
-                      "median of medians"),
-           "per_proc_s": per_proc}
+                      "2w identical kernels over w warmed workers, "
+                      "wall-clock best-of-rounds, kernels/sec"),
+           "kernels_per_sec": kps}
     for lo, hi in [(2, 8), (8, 32)]:
-        if lo in per_proc and hi in per_proc:
+        if lo in kps and hi in kps:
             out[f"implied_max_efficiency_{lo}_to_{hi}"] = round(
-                per_proc[lo] / per_proc[hi], 3)
+                (kps[hi] / kps[lo]) / (hi / lo), 3)
     print(json.dumps(out))
     with open(os.path.join(REPO, "ceiling_result.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -200,3 +200,42 @@ def test_searchindex_after_param(spark, idx_dir):
                [(r["doc_id"], r["score"]) for r in top10[5:]]
     finally:
         idx.close()
+
+
+def test_engine_wor_totals_under_deletes(spark, idx_dir, tmp_path):
+    """The count-only total plan under a tombstoned serving view: head
+    df comes from delta-corrected term stats, slot tables are decode-
+    level tombstone-filtered, and the probe's raw superset only removes
+    visible docs — totals must equal the exact engine's."""
+    import shutil
+
+    from yetisearch_spark.engine import Engine
+    from yetisearch_spark.streaming import delete_docs
+
+    mut = str(tmp_path / "totals_deleted")
+    shutil.copytree(idx_dir, mut)
+    base = SearchIndex(spark, mut, cache_postings=False, cache_docs=False)
+    t = _common_terms(base)
+    victims = sorted(r["doc_id"]
+                     for r in base.search(t[0], k=3000).collect())[::4]
+    base.close()
+    assert victims
+    delete_docs(spark, mut, victims)
+
+    exact = Engine(spark, {"t": mut},
+                   config={"pruned_gate_blocks": -1, "enable_fuzzy": False})
+    routed = Engine(spark, {"t": mut},
+                    config={"pruned_gate_blocks": 0, "enable_fuzzy": False})
+    for q in [f'"{t[0]} {t[1]}" OR "{t[2]}" OR NEAR("{t[1]}" "{t[3]}", 4)',
+              f"{t[0]} OR {t[3]}"]:
+        a = exact.search("t", q)
+        b = routed.search("t", q)
+        assert b["total"] == a["total"] and b["total"] > 0, q
+        assert [r["id"] for r in b["results"]] == \
+               [r["id"] for r in a["results"]], q
+        assert [r["score"] for r in b["results"]] == \
+               [r["score"] for r in a["results"]], q
+        # no tombstoned doc on the page
+        vic = set(victims)
+        assert not any(int(r["document"]["doc_id"]) in vic
+                       for r in b["results"]), q

@@ -510,7 +510,17 @@ class SearchIndex:
         lookup walks the CacheManager's canonical-plan entries, and
         hundreds of cached frames outweigh the decode savings), while
         the head-64/32 set costs ~30 s bootstrap and shaves the worst
-        cold fills."""
+        cold fills.
+
+        Measured bring-up cost (the bench's ``warm_bootstrap`` leg):
+        ~12 s at 1M docs, ~30 s at 10M — linear in head-term df, since
+        the prefill IS a decode of the head postings. At 100× the next
+        lever is already in place structurally: the fill is ONE union
+        action over all promoted frames, so its wall time is the
+        slowest head term's partition-parallel decode, not the sum —
+        growth past minutes means raising decode parallelism
+        (shuffle partitions on the cache repartition), not splitting
+        the action."""
         n = self._docs.count() if self._docs_cached else 0
         self.term_stats_for(["_warm_probe"])   # triggers the vocab load
         warmed = 0
