@@ -138,6 +138,26 @@ def test_multi_index(spark, engine, tmp_path_factory):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_multi_index_pruned_parity(spark, engine, tmp_path_factory):
+    """search_multiple's per-shard pruned top-k merge must equal the
+    exact-path merge: ids, scores, and shard tags, both for a shape the
+    pruned tier serves and one it falls through on."""
+    out2 = str(tmp_path_factory.mktemp("engine_idx3"))
+    pdf = generate_transcripts(400, seed=23)
+    build_index(spark, spark.createDataFrame(pdf), out2, num_buckets=8)
+    dirs = {"a": engine.index("main").index_dir, "b": out2}
+    exact = Engine(spark, dirs, config={"pruned_gate_blocks": -1})
+    routed = Engine(spark, dirs, config={"pruned_gate_blocks": 0})
+    for query in ["search", "search OR index", '"the search"']:
+        ea = exact.search_multiple(["a", "b"], SearchQuery(query=query),
+                                   k=15).collect()
+        ra = routed.search_multiple(["a", "b"], SearchQuery(query=query),
+                                    k=15).collect()
+        assert [(r["_index"], r["doc_id"], r["score"]) for r in ra] == \
+               [(r["_index"], r["doc_id"], r["score"]) for r in ea], query
+        assert ea, query
+
+
 def test_snippet_and_highlight_helpers():
     text = "alpha beta gamma " * 30 + "needle here" + " tail words" * 10
     snip = extract_snippet(text, ["needle"], 80)

@@ -1205,19 +1205,32 @@ class Engine:
     def search_multiple(self, indices: list[str], q: SearchQuery | str,
                         k: int | None = None) -> DataFrame:
         """Search several indexes, tag _index, merge by score
-        (reference: src/Storage/SqliteStorage.php:1574-1628)."""
+        (reference: src/Storage/SqliteStorage.php:1574-1628).
+
+        Scale path (round 6): the global top-k over shards is contained
+        in the union of per-shard top-k's, so each unfiltered shard goes
+        through ``SearchIndex.search`` — the same cost-gated block-max
+        pruned tier single-index serving uses — and only k rows per
+        shard reach the merge. BM25 stats stay per-index (the
+        reference scores each index independently). Filtered queries
+        keep the exact per-shard merge: a filter can exclude the whole
+        per-shard top-k, so shard-local pruning is unsound there."""
         if isinstance(q, str):
             q = SearchQuery(query=q)
+        k_eff = k or q.limit
         parts = []
         for name in indices:
             _, idx = self._live(name)
-            node = parse_query(q.query)
-            scores = idx.match_scores(node)
-            docs = apply_filters(idx._docs, q.filters)
-            parts.append(docs.join(scores, "doc_id")
-                         .withColumn("_index", F.lit(name)))
+            if q.filters:
+                node = parse_query(q.query)
+                scores = idx.match_scores(node)
+                docs = apply_filters(idx._docs, q.filters)
+                part = docs.join(scores, "doc_id")
+            else:
+                part = idx.search(q.query, k=k_eff, with_docs=True)
+            parts.append(part.withColumn("_index", F.lit(name)))
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p, allowMissingColumns=True)
         return (merged.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k or q.limit))
+                .limit(k_eff))
