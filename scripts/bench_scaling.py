@@ -94,10 +94,27 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
         }
         print(json.dumps(summary))
-        # latest raw run only — the consolidated history lives in
-        # scaling_result.json (curated by hand across rounds)
-        with open(os.path.join(REPO, "scaling_run_latest.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+        # append into the pairs history (scaling_run_latest.json holds
+        # every round's pairs; overwriting it cost two restores already)
+        path = os.path.join(REPO, "scaling_run_latest.json")
+        try:
+            with open(path) as f:
+                hist = json.load(f)
+            assert isinstance(hist.get("pairs"), list)
+        except Exception:
+            hist = {"pairs": []}
+        hist["pairs"].insert(0, {
+            "turns": args.turns,
+            "n_cores": lo, "n4_cores": hi,
+            "t_n_s": round(results[lo]["wall_s"], 1),
+            "t_4n_s": round(results[hi]["wall_s"], 1),
+            "tps_n": round(results[lo]["turns_per_sec"]),
+            "tps_4n": round(results[hi]["turns_per_sec"]),
+            "speedup": round(speedup, 3),
+            "efficiency": round(eff, 3),
+        })
+        with open(path, "w") as f:
+            json.dump(hist, f, indent=1)
 
 
 if __name__ == "__main__":
