@@ -262,6 +262,16 @@ def main() -> None:
         timings[f"{name}_facade"] = round(_cold_median(
             lambda ix, q=q: facade_idx.search(q, k=10)), 4)
 
+    # round 6: filtered search through the pruned tier (iterative
+    # deepening — unfiltered pruned top-4k ∩ filter, exact by the
+    # total-order argument in _filtered_pruned_page). The exact leg
+    # scores the full 1M-posting head list, then filters.
+    _filt = {"role": "user"}
+    timings["wand_skew_filtered_exact"] = round(_cold_median(
+        lambda ix: ix.search("zzhead", k=10, filters=_filt)), 4)
+    timings["wand_skew_filtered_facade"] = round(_cold_median(
+        lambda ix: facade_idx.search("zzhead", k=10, filters=_filt)), 4)
+
     # combined-fuzzy (M7) shape through the weighted-OR rule: phrase +
     # NEAR + bare terms in one OR. Replica scenario: stats/df metadata
     # synced (the standalone phrase df is seeded once, untimed), block

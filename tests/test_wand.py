@@ -301,3 +301,45 @@ def test_duplicate_terms_route_to_exact_path(index):
                   for r in index.search(f'"{t}"', k=10).collect()}
         for d, s in a:
             assert s == pytest.approx(2 * single[d], rel=1e-9)
+
+
+def test_filtered_search_pruned_identical(index):
+    """Round-6 filtered deepening: SearchIndex.search with filters must
+    return exactly the exact path's rows when routed pruned (forced
+    gate), across shapes, both projections, and a filter sparse enough
+    to defeat the deepening (fall-back path)."""
+    terms, dfs = _common_terms(index)
+    exact = SearchIndex(index.spark, index.index_dir,
+                        cache_postings=False, cache_docs=False)
+    exact.pruned_gate_blocks = -1
+    routed = SearchIndex(index.spark, index.index_dir,
+                         cache_postings=False, cache_docs=False)
+    routed.pruned_gate_blocks = 0
+    try:
+        queries = [f'"{terms[0]}"',
+                   f'"{terms[0]}" AND "{terms[1]}"',
+                   f'"{terms[0]}" OR "{terms[2]}"',
+                   f'"{terms[0]} {terms[1]}"']
+        for q in queries:
+            for filt in [{"role": "user"}, {"role": "user", "tool": "bash"}]:
+                want = [(r["doc_id"], round(r["score"], 9))
+                        for r in exact.search(q, k=10,
+                                              filters=filt).collect()]
+                got = [(r["doc_id"], round(r["score"], 9))
+                       for r in routed.search(q, k=10,
+                                              filters=filt).collect()]
+                assert got == want, (q, filt)
+        # with_docs projection parity on one shape
+        filt = {"role": "user"}
+        q = f'"{terms[0]}" OR "{terms[2]}"'
+        want = exact.search(q, k=5, filters=filt, with_docs=True).collect()
+        got = routed.search(q, k=5, filters=filt, with_docs=True).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+        # a filter no doc satisfies: deepening finds 0 survivors twice,
+        # falls back exact, which returns the same empty page
+        nores = routed.search(f'"{terms[0]}"', k=10,
+                              filters={"role": "nope"}).collect()
+        assert nores == []
+    finally:
+        exact.close()
+        routed.close()

@@ -1601,6 +1601,13 @@ class SearchIndex:
         # path's (pruned == exact is correctness-tested at 1e-9). Falls
         # through on any gate reason (shape, tombstones, duplicates,
         # below block estimate, empty).
+        if (filters and node is not None and after is None
+                and self._normalize_weights(weights) is None
+                and (self.pruned_gate_blocks is None
+                     or self.pruned_gate_blocks >= 0)):
+            page = self._filtered_pruned_page(node, k, filters, with_docs)
+            if page is not None:
+                return page
         if (not filters and node is not None and after is None
                 and self._normalize_weights(weights) is None
                 and (self.pruned_gate_blocks is None
@@ -1641,6 +1648,45 @@ class SearchIndex:
                     .orderBy(F.desc("score"), F.asc("doc_id")))
         topk._ys_handles = handles  # type: ignore[attr-defined]
         return topk
+
+    def _filtered_pruned_page(self, node, k, filters, with_docs):
+        """Filtered search through the pruned tier by iterative
+        deepening (round 6). The unfiltered pruned top-k' is page-exact
+        in the total order (score DESC, doc_id ASC): every matching doc
+        OUTSIDE it ranks after every member, so when ≥ k of the k'
+        candidates survive the filter, the first k survivors ARE the
+        exact filtered top-k — including tie handling, since survivors
+        keep the same total order. Two rounds (k' = 4k then 16k) cover
+        ordinary filter selectivities at ≤ 2× the pruned cost; a filter
+        sparse enough to defeat both rounds returns None and the caller
+        falls through to the exact path (whose cost the deepening never
+        exceeds asymptotically — at 10^12 docs a head-term query with a
+        25%-selectivity filter is the difference between decoding 4k
+        candidates and decoding the full posting list). Reference
+        parity: filters are WHERE clauses over the same scored result
+        set (src/Storage/SqliteStorage.php:899-1016) — results are
+        identical, only the physical plan differs."""
+        from .wand import pruned_scored
+
+        fdocs = self._docs
+        for col, val in filters.items():
+            fdocs = fdocs.where(F.col(col) == F.lit(val))
+        for kp in (max(4 * k, 64), max(16 * k, 256)):
+            scored, _info = pruned_scored(
+                self, node, kp, gate_blocks=self.pruned_gate_blocks)
+            if scored is None:
+                return None          # shape/tombstone/estimate gate
+            topkp = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                     .limit(kp))
+            # broadcast the k' candidate page; the docs scan keeps its
+            # pushed-down filter predicates
+            surv = fdocs.join(F.broadcast(topkp), "doc_id")
+            if surv.count() >= k:
+                if not with_docs:
+                    surv = surv.select("doc_id", "score")
+                return (surv.orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(k))
+        return None
 
     def count(self, query) -> int:
         """Match count (reference M8, src/Storage/SqliteStorage.php:1275-1358)."""
