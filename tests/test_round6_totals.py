@@ -239,3 +239,36 @@ def test_engine_wor_totals_under_deletes(spark, idx_dir, tmp_path):
         vic = set(victims)
         assert not any(int(r["document"]["doc_id"]) in vic
                        for r in b["results"]), q
+
+
+def test_engine_filtered_complete_shape_pruned_parity(spark, idx_dir):
+    """Round-6 docs_in_set routing: filtered AND/phrase/NEAR queries
+    route through the complete pruned frame — results, totals, facets,
+    and sort must equal the exact engine's."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    base = SearchIndex(spark, idx_dir, cache_postings=False,
+                       cache_docs=False)
+    t = _common_terms(base)
+    base.close()
+    exact = Engine(spark, {"t": idx_dir},
+                   config={"pruned_gate_blocks": -1, "enable_fuzzy": False})
+    routed = Engine(spark, {"t": idx_dir},
+                    config={"pruned_gate_blocks": 0, "enable_fuzzy": False})
+    filt = [{"field": "role", "operator": "=", "value": "user"}]
+    shapes = [f"{t[0]} {t[1]}",                       # implicit AND
+              f'"{t[0]} {t[1]}"',                     # phrase
+              f'NEAR("{t[0]}" "{t[1]}", 5)']          # NEAR
+    for q in shapes:
+        for extra in [{}, {"facets": {"tool": {}}},
+                      {"sort": {"ts": "desc"}}]:
+            qa = SearchQuery(query=q, filters=filt, limit=8, **extra)
+            a = exact.search("t", qa)
+            b = routed.search("t", qa)
+            assert b["total"] == a["total"], (q, extra)
+            assert [r["id"] for r in b["results"]] == \
+                   [r["id"] for r in a["results"]], (q, extra)
+            assert [r["score"] for r in b["results"]] == \
+                   [r["score"] for r in a["results"]], (q, extra)
+            if "facets" in extra:
+                assert b.get("facets") == a.get("facets"), (q, extra)

@@ -649,15 +649,33 @@ class Engine:
         pruned_count: tuple | None = None   # (frame, base) count branch
         total_deferred = False
         total_mode_used = "exact"
-        if (node is not None and not docs_in_set and not two_pass
+        # round 6: a docs_in_set query (filters/sort/facets/geo) can
+        # still route pruned when the shape's pruned frame is the
+        # COMPLETE match set (AND rule: and/phrase/near) — the frame is
+        # a drop-in for match_scores, so filters, sort, geo, rescoring,
+        # and the downstream filtered TOTAL all stay exact while the
+        # decode skips every block outside the rare constituent's
+        # ranges. Shapes with top-k-only frames (single/or/wor) keep the
+        # exact path under docs_in_set; the shape check is zero-job.
+        docs_in_set_ok = False
+        if docs_in_set and node is not None:
+            from .wand import _is_simple
+            ok_sh, _sh_terms, sh = _is_simple(node)
+            docs_in_set_ok = ok_sh and sh in ("and", "phrase", "near")
+        if (node is not None and not two_pass
                 and not cursor_live
+                and (not docs_in_set or docs_in_set_ok)
                 and bm25_weights is None
                 and (idx.pruned_gate_blocks is None
                      or idx.pruned_gate_blocks >= 0)):
             from .wand import pruned_scored
             ps, pinfo = pruned_scored(idx, node, fetch_n,
                                       gate_blocks=idx.pruned_gate_blocks)
-            if ps is not None and pinfo.get("count_exact"):
+            if docs_in_set:
+                if ps is not None and pinfo.get("shape") in (
+                        "and", "phrase", "near"):
+                    scores = ps
+            elif ps is not None and pinfo.get("count_exact"):
                 scores = ps
                 pruned_total = pinfo.get("total")
             elif ps is not None and pinfo.get("exact_count") is not None:

@@ -1668,25 +1668,38 @@ class SearchIndex:
         identical, only the physical plan differs."""
         from .wand import pruned_scored
 
-        fdocs = self._docs
+        fids = self._docs
         for col, val in filters.items():
-            fdocs = fdocs.where(F.col(col) == F.lit(val))
-        for kp in (max(4 * k, 64), max(16 * k, 256)):
-            scored, _info = pruned_scored(
+            fids = fids.where(F.col(col) == F.lit(val))
+        fids = fids.select("doc_id")
+
+        surv = None
+        rounds = (max(4 * k, 64), max(16 * k, 256))
+        for i, kp in enumerate(rounds):
+            scored, info = pruned_scored(
                 self, node, kp, gate_blocks=self.pruned_gate_blocks)
             if scored is None:
                 return None          # shape/tombstone/estimate gate
+            if info.get("shape") in ("and", "phrase", "near"):
+                # the AND-rule pruned frame is the COMPLETE match set
+                # (count-exact) — filter directly, no deepening needed
+                surv = scored.join(fids, "doc_id")
+                break
             topkp = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                      .limit(kp))
             # broadcast the k' candidate page; the docs scan keeps its
             # pushed-down filter predicates
-            surv = fdocs.join(F.broadcast(topkp), "doc_id")
-            if surv.count() >= k:
-                if not with_docs:
-                    surv = surv.select("doc_id", "score")
-                return (surv.orderBy(F.desc("score"), F.asc("doc_id"))
-                        .limit(k))
-        return None
+            cand = fids.join(F.broadcast(topkp), "doc_id")
+            if cand.count() >= k:
+                surv = cand
+                break
+            if i == len(rounds) - 1:
+                return None          # filter defeated both rounds
+        topk = (surv.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        if with_docs:
+            topk = (self._docs.join(F.broadcast(topk), "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id")))
+        return topk
 
     def count(self, query) -> int:
         """Match count (reference M8, src/Storage/SqliteStorage.php:1275-1358)."""
