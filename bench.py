@@ -314,6 +314,30 @@ def main() -> None:
         for g in list(eng_skew_idx._handle_groups):
             eng_skew_idx.release(g)
     timings["wand_skew_wor_engine"] = round(sorted(runs)[1], 4)
+
+    # round 6: filtered phrase through Engine.search — docs_in_set
+    # routing over the COMPLETE pruned frame (filters + facets + exact
+    # filtered total, no positional head decode). Exact twin pins the
+    # gate off.
+    eng_exact = _Eng(spark, {"skew": skew_idx_dir},
+                     config={"enable_fuzzy": False,
+                             "pruned_gate_blocks": -1})
+    eng_exact.indexes["skew"] = skew_idx       # shares the exact handle
+    _fq = _SQ(query='"zzhead zzrare"', limit=10, bypass_cache=True,
+              filters=[{"field": "role", "operator": "=",
+                        "value": "user"}])
+    for leg, eng_h, ix_h, n_runs in [
+            ("wand_skew_phrase_filtered_exact", eng_exact, skew_idx, 1),
+            ("wand_skew_phrase_filtered_engine", eng_skew, eng_skew_idx, 3)]:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            out_f = eng_h.search("skew", _fq)
+            runs.append(time.time() - t0)
+            assert out_f["total"] > 0
+            for g in list(ix_h._handle_groups):
+                ix_h.release(g)
+        timings[leg] = round(sorted(runs)[len(runs) // 2], 4)
     eng_skew_idx.close()
 
     # fuzzy typo correction through the engine
