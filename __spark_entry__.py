@@ -561,6 +561,34 @@ def q_engine_wor_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull())
 
 
+def q_engine_filtered_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search through the COMPLETE pruned frame (round-6
+    docs_in_set routing): an implicit-AND query with a metadata filter
+    routes through wand's AND-rule frame — a drop-in for match_scores,
+    so the filtered page AND the exact filtered total never decode
+    blocks outside the rare term's ranges. pruned_gate_blocks=0 forces
+    the route; the oracle recomputes the exact filtered BM25 AND top-10
+    (global df/avgdl, filter applied after scoring — the reference's
+    WHERE-over-scored-set semantics, src/Storage/SqliteStorage.php:899),
+    the filtered count, and the R5 page normalization from the
+    materialized token and role tables."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "engfl")
+    _materialize(idx._docs.select("doc_id", "role"), "engfl_roles")
+    eng = Engine(spark, {"main": idx.index_dir},
+                 config={"enable_fuzzy": False, "pruned_gate_blocks": 0})
+    res = eng.search("main", SearchQuery(
+        query="data query", limit=10,
+        filters=[{"field": "role", "operator": "=", "value": "src13"}]))
+    rows = [(r["document"]["doc_id"], float(r["score"]), int(res["total"]))
+            for r in res["results"]]
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, score double, total long").where(
+        F.col("doc_id").isNotNull())
+
+
 def q_engine_deleted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-exact segmented serving (round 5), value-checked end to
     end: copy the built index, tombstone a deterministic victim set
@@ -813,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pruned_topk": q_engine_pruned_topk,
         "engine_pruned_facade": q_engine_pruned_facade,
         "engine_wor_facade": q_engine_wor_facade,
+        "engine_filtered_and": q_engine_filtered_and,
         "engine_deleted_search": q_engine_deleted_search,
         "near3_topk": q_near3_topk,
         "engine_boosted": q_engine_boosted,
@@ -1178,6 +1207,32 @@ def oracle_sql() -> dict[str, str]:
         "engine_search": _exact_and_sql("engs"),
         "engine_pruned_topk": _exact_and_sql("engp"),
         "engine_pruned_facade": _exact_and_sql("engpf", normalize=True),
+        "engine_filtered_and": f"""
+            WITH tok AS (SELECT doc_id, term
+                         FROM read_parquet('{MAT_DIR}/engfl_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/engfl_stats/*.parquet')),
+            tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    WHERE term IN ('data','queri') GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+            scored AS (
+                SELECT t.doc_id,
+                       sum({_idf_sql('d.df')} * t.tf * {K1 + 1.0}
+                           / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl))) AS s
+                FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id)
+                CROSS JOIN g
+                GROUP BY t.doc_id HAVING count(*) = 2),
+            fil AS (SELECT sc.doc_id, sc.s FROM scored sc
+                    JOIN read_parquet('{MAT_DIR}/engfl_roles/*.parquet') r
+                      USING(doc_id)
+                    WHERE r.role = 'src13'),
+            sel AS (SELECT doc_id, s FROM fil ORDER BY s DESC, doc_id LIMIT 10)
+            SELECT doc_id,
+                   round(s / (SELECT max(s) FROM sel) * 100.0, 1) AS score,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fil) AS total
+            FROM sel ORDER BY s DESC, doc_id
+        """,
         # weighted-OR through the engine: slot order is phrase, NEAR
         # member 1 (data), NEAR member 2 (spark), bare queri, bare join;
         # NEAR member idfs use the member TERM's standalone df; total =
