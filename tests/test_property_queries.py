@@ -274,8 +274,13 @@ def test_random_trees_engine_facade(data, engine_pair, vocab_terms):
     q = data.draw(_tree_strategy(terms, prefixes))
     limit = data.draw(st.sampled_from([5, 20]))
     offset = data.draw(st.sampled_from([0, 3]))
+    # round-6 docs_in_set routing: a filter drives complete-frame
+    # substitution for and/phrase/near and deepening/fallthrough else
+    filters = data.draw(st.sampled_from(
+        [None, [{"field": "role", "operator": "=", "value": "user"}]]))
     exact, routed = engine_pair
-    sq = SearchQuery(query=q, limit=limit, offset=offset, bypass_cache=True)
+    sq = SearchQuery(query=q, limit=limit, offset=offset,
+                     filters=filters or [], bypass_cache=True)
     a = exact.search("p", sq)
     b = routed.search("p", sq)
     assert b["total"] == a["total"], q
