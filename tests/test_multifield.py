@@ -147,3 +147,91 @@ def test_weighted_three_phrase_near(index, oracle):
         want = oracle.top_k(match, k=10, weights=weights)
         got = _spark_topk(index, q, weights)
         _assert_identical(got, want, ("near3", weights))
+
+
+def test_weighted_phrase_near_pruned_identical(index, oracle):
+    """Round 6: field-weighted phrase/NEAR queries ride the block-max
+    pruned tier. Soundness: their pruned frames come from the AND rule
+    (range overlap over constituents — score-agnostic), so the frame is
+    the COMPLETE match set with full positions, and reweighted scoring
+    over it is exact. Pruned == FTS5 oracle at 1e-9, route asserted."""
+    from yetisearch_spark.wand import pruned_topk
+    terms = _pick_terms(oracle)
+    t0, t1 = terms[0], terms[1]
+    cases = {
+        "phrase": (f'"{t0} {t1}"',
+                   Fts5Oracle.match_string("phrase", [t0, t1])),
+        "near": (f'NEAR("{t0}" "{t1}", 10)',
+                 Fts5Oracle.match_string("near", [t0, t1])),
+    }
+    for weights in [(2.0, 1.0), (0.5, 3.0), (5.0, 0.0)]:
+        for kind, (q, match) in cases.items():
+            df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=weights)
+            stats = getattr(df, "_pruning_stats", None)
+            assert stats and "blocks_total" in stats, (kind, weights, stats)
+            got = [(r["doc_id"], r["score"]) for r in df.collect()]
+            want = oracle.top_k(match, k=10, weights=weights)
+            _assert_identical(got, want, ("pruned", kind, weights))
+
+
+def test_weighted_nonpositional_shapes_gate_exact(index, oracle):
+    """single/and/or pruned frames carry no positions — a weighted query
+    on those shapes must gate back to the exact path (zero-job reason
+    'weighted-shape') and stay rank-identical end to end."""
+    from yetisearch_spark.wand import pruned_topk
+    terms = _pick_terms(oracle)
+    t0, t1 = terms[0], terms[1]
+    for kind, q, match in [
+            ("single", f'"{t0}"', Fts5Oracle.match_string("single", [t0])),
+            ("and", f'"{t0}" AND "{t1}"',
+             Fts5Oracle.match_string("and", [t0, t1])),
+            ("or", f'"{t0}" OR "{t1}"',
+             Fts5Oracle.match_string("or", [t0, t1]))]:
+        df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=(2.0, 1.0))
+        stats = getattr(df, "_pruning_stats", None)
+        assert stats and stats.get("reason") == "weighted-shape", (kind, stats)
+        got = [(r["doc_id"], r["score"]) for r in df.collect()]
+        want = oracle.top_k(match, k=10, weights=(2.0, 1.0))
+        _assert_identical(got, want, ("gated", kind))
+
+
+def test_weighted_pruned_facade_and_engine(spark, index, oracle):
+    """SearchIndex.search and Engine.search serve weighted phrase/NEAR
+    through the pruned tier when forced (gate 0) — identical pages and
+    totals vs a gate-disabled twin over the same index dir."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    terms = _pick_terms(oracle)
+    t0, t1 = terms[0], terms[1]
+    routed = SearchIndex(spark, index.index_dir, cache_postings=False,
+                         cache_docs=False)
+    routed.pruned_gate_blocks = 0
+    try:
+        q = f'"{t0} {t1}"'
+        match = Fts5Oracle.match_string("phrase", [t0, t1])
+        df = routed.search(q, k=10, weights=(3.0, 0.5))
+        assert getattr(df, "_pruning_stats", None) is not None
+        got = [(r["doc_id"], r["score"]) for r in df.collect()]
+        want = oracle.top_k(match, k=10, weights=(3.0, 0.5))
+        _assert_identical(got, want, "facade-weighted-phrase")
+    finally:
+        routed.close()
+
+    exact_e = Engine(spark, {}, config={"pruned_gate_blocks": -1,
+                                        "enable_fuzzy": False})
+    routed_e = Engine(spark, {}, config={"pruned_gate_blocks": 0,
+                                         "enable_fuzzy": False})
+    for eng in (exact_e, routed_e):
+        ix = SearchIndex(spark, index.index_dir, cache_postings=False,
+                         cache_docs=False)
+        ix.pruned_gate_blocks = eng.config["pruned_gate_blocks"]
+        eng.indexes["mf"] = ix
+    sq = SearchQuery(query=f'"{t0} {t1}"', limit=10,
+                     boost_fields={"title": 3.0, "text": 0.5})
+    a = exact_e.search("mf", sq)
+    b = routed_e.search("mf", sq)
+    assert b["total"] == a["total"] and b["total"] > 0
+    assert [r["id"] for r in b["results"]] == \
+           [r["id"] for r in a["results"]]
+    assert [r["score"] for r in b["results"]] == \
+           [r["score"] for r in a["results"]]

@@ -665,12 +665,18 @@ class Engine:
         if (node is not None and not two_pass
                 and not cursor_live
                 and (not docs_in_set or docs_in_set_ok)
-                and bm25_weights is None
                 and (idx.pruned_gate_blocks is None
                      or idx.pruned_gate_blocks >= 0)):
             from .wand import pruned_scored
+            # field-weighted (multi-field boost) queries ride the pruned
+            # tier too (round 6): wand serves them for the complete-frame
+            # positional shapes (phrase/near — frame == full match set
+            # with positions, so reweighted scoring is exact) and gates
+            # every other shape back to match_scores ("weighted-shape").
             ps, pinfo = pruned_scored(idx, node, fetch_n,
-                                      gate_blocks=idx.pruned_gate_blocks)
+                                      gate_blocks=idx.pruned_gate_blocks,
+                                      wvec=idx._normalize_weights(
+                                          bm25_weights))
             if docs_in_set:
                 if ps is not None and pinfo.get("shape") in (
                         "and", "phrase", "near"):

@@ -1601,20 +1601,25 @@ class SearchIndex:
         # path's (pruned == exact is correctness-tested at 1e-9). Falls
         # through on any gate reason (shape, tombstones, duplicates,
         # below block estimate, empty).
+        # field-weighted queries (round 6): wvec rides into the pruned
+        # tier, which serves it for the complete-frame positional shapes
+        # (phrase/near) and gates everything else back here (reason
+        # "weighted-shape") — the gate is zero-job.
+        wvec = self._normalize_weights(weights)
         if (filters and node is not None and after is None
-                and self._normalize_weights(weights) is None
                 and (self.pruned_gate_blocks is None
                      or self.pruned_gate_blocks >= 0)):
-            page = self._filtered_pruned_page(node, k, filters, with_docs)
+            page = self._filtered_pruned_page(node, k, filters, with_docs,
+                                              wvec=wvec)
             if page is not None:
                 return page
         if (not filters and node is not None and after is None
-                and self._normalize_weights(weights) is None
                 and (self.pruned_gate_blocks is None
                      or self.pruned_gate_blocks >= 0)):
             from .wand import pruned_scored
             scored, info = pruned_scored(self, node, k,
-                                         gate_blocks=self.pruned_gate_blocks)
+                                         gate_blocks=self.pruned_gate_blocks,
+                                         wvec=wvec)
             if scored is not None:
                 topk = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                         .limit(k))
@@ -1649,7 +1654,8 @@ class SearchIndex:
         topk._ys_handles = handles  # type: ignore[attr-defined]
         return topk
 
-    def _filtered_pruned_page(self, node, k, filters, with_docs):
+    def _filtered_pruned_page(self, node, k, filters, with_docs,
+                              wvec: tuple | None = None):
         """Filtered search through the pruned tier by iterative
         deepening (round 6). The unfiltered pruned top-k' is page-exact
         in the total order (score DESC, doc_id ASC): every matching doc
@@ -1677,7 +1683,8 @@ class SearchIndex:
         rounds = (max(4 * k, 64), max(16 * k, 256))
         for i, kp in enumerate(rounds):
             scored, info = pruned_scored(
-                self, node, kp, gate_blocks=self.pruned_gate_blocks)
+                self, node, kp, gate_blocks=self.pruned_gate_blocks,
+                wvec=wvec)
             if scored is None:
                 return None          # shape/tombstone/estimate gate
             if info.get("shape") in ("and", "phrase", "near"):

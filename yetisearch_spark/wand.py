@@ -341,7 +341,8 @@ def _exact_count_thunk(index: SearchIndex, node, shape: str, stats: dict,
 
 def pruned_topk(index: SearchIndex, query, k: int = 10,
                 driver_cap: int = DRIVER_CAP,
-                gate_blocks: int | None = None) -> DataFrame:
+                gate_blocks: int | None = None,
+                wvec: tuple | None = None) -> DataFrame:
     """Top-k with block-max pruning; falls back to index.search for
     unsupported shapes. Results are exactly index.search(query, k).
 
@@ -352,13 +353,13 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
     None → max(GATE_MIN_BLOCKS, GATE_BLOCKS_PER_K·k); 0 → always prune."""
     node = parse_query(query) if isinstance(query, str) else query
     scored, info = pruned_scored(index, node, k, driver_cap=driver_cap,
-                                 gate_blocks=gate_blocks)
+                                 gate_blocks=gate_blocks, wvec=wvec)
     if scored is None:
         if info.get("reason") == "empty":
             return index.spark.createDataFrame([], "doc_id long, score double")
         # .select("*") wraps the (possibly plan-cache-shared) frame so the
         # routing marker never leaks onto other callers' handles
-        out = index.search(node, k=k).select("*")
+        out = index.search(node, k=k, weights=wvec).select("*")
         out._pruning_stats = info  # type: ignore[attr-defined]
         return out
     out = (scored.select("doc_id", "score")
@@ -369,7 +370,8 @@ def pruned_topk(index: SearchIndex, query, k: int = 10,
 
 def pruned_scored(index: SearchIndex, node, k: int,
                   driver_cap: int = DRIVER_CAP,
-                  gate_blocks: int | None = None
+                  gate_blocks: int | None = None,
+                  wvec: tuple | None = None
                   ) -> tuple[DataFrame | None, dict]:
     """Phase-1+2 of the pruned path WITHOUT the final top-k: returns
     (scored, info) where ``scored`` is the pre-limit (doc_id, score)
@@ -390,6 +392,15 @@ def pruned_scored(index: SearchIndex, node, k: int,
     info: dict = {"gated": True}
     if not ok:
         info["reason"] = "shape"
+        return None, info
+    if wvec is not None and shape not in ("phrase", "near"):
+        # per-field BM25 weights (round 6): sound ONLY for the shapes
+        # whose pruned frame is the COMPLETE match set with positions
+        # (the AND rule selects blocks by range overlap, score-agnostic,
+        # so reweighted scoring over the frame is trivially exact).
+        # single/and/or/wor prune against UNWEIGHTED block maxima and
+        # their light frames carry no positions — exact path.
+        info["reason"] = "weighted-shape"
         return None, info
     if (getattr(index, "_tomb", None) is not None
             and (not hasattr(index, "_wand_block_overrides")
@@ -622,9 +633,11 @@ def pruned_scored(index: SearchIndex, node, k: int,
         if df_ph is not None:
             if df_ph == 0:
                 return None, {"reason": "empty"}
-            scored = tbl.select(
-                "doc_id",
-                index._contrib_expr("tf", index.idf(df_ph)).alias("score"))
+            contrib = (index._contrib_expr("tf", index.idf(df_ph))
+                       if wvec is None else
+                       index._contrib_expr_weighted(
+                           "positions", index.idf(df_ph), wvec))
+            scored = tbl.select("doc_id", contrib.alias("score"))
             out_info = {"gated": False, "shape": shape, "total": int(df_ph),
                         "count_exact": True, "prune_stats": prune_stats}
             return scored.select("doc_id", "score"), out_info
@@ -638,11 +651,13 @@ def pruned_scored(index: SearchIndex, node, k: int,
         raw_idf = F.log((F.lit(n) - F.col("_df") + 0.5)
                         / (F.col("_df") + 0.5))
         idf_col = F.when(raw_idf > 0.0, raw_idf).otherwise(F.lit(1e-6))
+        tf_expr = (F.col("tf").cast("double") if wvec is None
+                   else index._weighted_tf("positions", wvec))
         scored = (tbl.crossJoin(F.broadcast(cnt))
                   .select("doc_id",
-                          (idf_col * F.col("tf").cast("double")
+                          (idf_col * tf_expr
                            * (BM25_K1 + 1.0)
-                           / (F.col("tf").cast("double")
+                           / (tf_expr
                               + BM25_K1 * (1.0 - BM25_B
                                            + BM25_B
                                            * F.col("doc_len").cast("double")
@@ -654,7 +669,10 @@ def pruned_scored(index: SearchIndex, node, k: int,
         ptables = {p: frames[p.terms[0]].select("doc_id", "tf", "doc_len",
                                                 "positions")
                    for p in set(node.phrases)}
-        ntbl = index._near_table(node, ptables)
+        # wvec: the trim kernel emits field-weighted tf_m directly (the
+        # same kernel the exact path runs), so the contrib expr is
+        # unchanged — exactly _match_scores_build's NEAR fast path
+        ntbl = index._near_table(node, ptables, wvec)
         score = None
         for m, p in enumerate(node.phrases):
             c = index._contrib_expr(f"tf_{m}", idf[p.terms[0]])
