@@ -589,6 +589,46 @@ def q_engine_filtered_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull())
 
 
+def q_weighted_phrase_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted phrase served through the block-max pruned tier
+    (round 6): the phrase's pruned frame comes from the AND rule over
+    its constituents (range overlap, score-agnostic), so it is the
+    COMPLETE match set with full positions and per-field reweighted BM25
+    over it is exact. Forces the gate (pruned_gate_blocks=0), asserts
+    the pruned route actually served the page, and returns the raw
+    weighted top-10; the oracle recomputes per-field phrase instances
+    (adjacency within a field only — FTS5 columns are
+    position-isolated), the weighted tf (instance-start field weight),
+    the phrase df, and BM25 from the materialized per-field token table
+    (reference bm25(fts, w…): src/Storage/SqliteStorage.php:993-1021)."""
+    from yetisearch_spark.query import SearchIndex
+    idx = _engine_index_mf(spark, sf_dir)
+    fl0 = F.element_at("field_lens", 1)
+    in_f0 = F.col("pos") < fl0
+    _materialize(
+        idx._docs.select("doc_id", "field_lens",
+                         F.posexplode("tokens").alias("pos", "term"))
+        .select("doc_id",
+                F.when(in_f0, F.lit(0)).otherwise(F.lit(1)).cast("int")
+                 .alias("field_id"),
+                (F.col("pos") - F.when(in_f0, F.lit(0)).otherwise(fl0))
+                 .cast("long").alias("fpos"),
+                "term"),
+        "wphp_tokens")
+    _materialize(
+        spark.read.parquet(os.path.join(idx.index_dir, "global_stats"))
+        .select(F.col("n_docs").cast("long").alias("n"),
+                F.col("avgdl").cast("double").alias("avgdl")),
+        "wphp_stats")
+    routed = SearchIndex(spark, idx.index_dir)
+    routed.pruned_gate_blocks = 0
+    df = routed.search('"data queri"', k=10, weights=(2.0, 1.0))
+    assert getattr(df, "_pruning_stats", None) is not None, \
+        "weighted phrase did not route through the pruned tier"
+    return (df.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def q_engine_deleted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-exact segmented serving (round 5), value-checked end to
     end: copy the built index, tombstone a deterministic victim set
@@ -842,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pruned_facade": q_engine_pruned_facade,
         "engine_wor_facade": q_engine_wor_facade,
         "engine_filtered_and": q_engine_filtered_and,
+        "weighted_phrase_pruned": q_weighted_phrase_pruned,
         "engine_deleted_search": q_engine_deleted_search,
         "near3_topk": q_near3_topk,
         "engine_boosted": q_engine_boosted,
@@ -1207,6 +1248,30 @@ def oracle_sql() -> dict[str, str]:
         "engine_search": _exact_and_sql("engs"),
         "engine_pruned_topk": _exact_and_sql("engp"),
         "engine_pruned_facade": _exact_and_sql("engpf", normalize=True),
+        "weighted_phrase_pruned": f"""
+            WITH tok AS (SELECT doc_id, field_id, fpos, term
+                         FROM read_parquet('{MAT_DIR}/wphp_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/wphp_stats/*.parquet')),
+            inst AS (SELECT a.doc_id,
+                            sum(CASE WHEN a.field_id = 0
+                                     THEN 2.0 ELSE 1.0 END) AS tfw
+                     FROM tok a JOIN tok b
+                       ON a.doc_id = b.doc_id AND a.field_id = b.field_id
+                      AND b.fpos = a.fpos + 1
+                     WHERE a.term = 'data' AND b.term = 'queri'
+                     GROUP BY a.doc_id),
+            ph AS (SELECT count(*) AS df FROM inst),
+            scored AS (
+                SELECT i.doc_id,
+                       {_idf_sql('ph.df')} * i.tfw * {K1 + 1.0}
+                       / (i.tfw + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl))
+                       AS s
+                FROM inst i JOIN dl USING(doc_id) CROSS JOIN g CROSS JOIN ph)
+            SELECT doc_id, round(s, 4) AS score FROM scored
+            ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+        """,
         "engine_filtered_and": f"""
             WITH tok AS (SELECT doc_id, term
                          FROM read_parquet('{MAT_DIR}/engfl_tokens/*.parquet')),

@@ -262,6 +262,19 @@ def main() -> None:
         timings[f"{name}_facade"] = round(_cold_median(
             lambda ix, q=q: facade_idx.search(q, k=10)), 4)
 
+    # round 6: field-weighted phrase through the pruned tier. The
+    # phrase's pruned frame is the complete match set with positions, so
+    # per-field-weighted rescoring over it is exact — the exact path
+    # must decode the 1M-posting head term WITH positions just to score
+    # a reweighted page. (Single-field index: wvec applies inside the
+    # BM25 tf saturation, a real FTS5 bm25(fts, w) semantic.)
+    timings["wand_skew_phrase_weighted_exact"] = round(_cold_median(
+        lambda ix: ix.search('"zzhead zzrare"', k=10, weights=(2.0,)),
+        n=1), 4)
+    timings["wand_skew_phrase_weighted_facade"] = round(_cold_median(
+        lambda ix: facade_idx.search('"zzhead zzrare"', k=10,
+                                     weights=(2.0,))), 4)
+
     # round 6: filtered search through the pruned tier (iterative
     # deepening — unfiltered pruned top-4k ∩ filter, exact by the
     # total-order argument in _filtered_pruned_page). The exact leg
