@@ -274,6 +274,15 @@ def main() -> None:
     timings["wand_skew_phrase_weighted_facade"] = round(_cold_median(
         lambda ix: facade_idx.search('"zzhead zzrare"', k=10,
                                      weights=(2.0,))), 4)
+    # weighted AND: the AND-rule frame is complete too — decoded WITH
+    # positions for the weighted tally, still bounded by the rare
+    # term's ranges; the exact path pays the full positional head decode
+    timings["wand_skew_and_weighted_exact"] = round(_cold_median(
+        lambda ix: ix.search("zzhead AND zzrare", k=10, weights=(2.0,)),
+        n=1), 4)
+    timings["wand_skew_and_weighted_facade"] = round(_cold_median(
+        lambda ix: facade_idx.search("zzhead AND zzrare", k=10,
+                                     weights=(2.0,))), 4)
 
     # round 6: filtered search through the pruned tier (iterative
     # deepening — unfiltered pruned top-4k ∩ filter, exact by the

@@ -163,6 +163,8 @@ def test_weighted_phrase_near_pruned_identical(index, oracle):
                    Fts5Oracle.match_string("phrase", [t0, t1])),
         "near": (f'NEAR("{t0}" "{t1}", 10)',
                  Fts5Oracle.match_string("near", [t0, t1])),
+        "and": (f'"{t0}" AND "{t1}"',
+                Fts5Oracle.match_string("and", [t0, t1])),
     }
     for weights in [(2.0, 1.0), (0.5, 3.0), (5.0, 0.0)]:
         for kind, (q, match) in cases.items():
@@ -175,16 +177,15 @@ def test_weighted_phrase_near_pruned_identical(index, oracle):
 
 
 def test_weighted_nonpositional_shapes_gate_exact(index, oracle):
-    """single/and/or pruned frames carry no positions — a weighted query
-    on those shapes must gate back to the exact path (zero-job reason
-    'weighted-shape') and stay rank-identical end to end."""
+    """single/or prune against UNWEIGHTED block maxima (θ does not
+    bound reweighted scores) — a weighted query on those shapes must
+    gate back to the exact path (zero-job reason 'weighted-shape') and
+    stay rank-identical end to end."""
     from yetisearch_spark.wand import pruned_topk
     terms = _pick_terms(oracle)
     t0, t1 = terms[0], terms[1]
     for kind, q, match in [
             ("single", f'"{t0}"', Fts5Oracle.match_string("single", [t0])),
-            ("and", f'"{t0}" AND "{t1}"',
-             Fts5Oracle.match_string("and", [t0, t1])),
             ("or", f'"{t0}" OR "{t1}"',
              Fts5Oracle.match_string("or", [t0, t1]))]:
         df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=(2.0, 1.0))

@@ -393,13 +393,14 @@ def pruned_scored(index: SearchIndex, node, k: int,
     if not ok:
         info["reason"] = "shape"
         return None, info
-    if wvec is not None and shape not in ("phrase", "near"):
+    if wvec is not None and shape not in ("phrase", "near", "and"):
         # per-field BM25 weights (round 6): sound ONLY for the shapes
-        # whose pruned frame is the COMPLETE match set with positions
-        # (the AND rule selects blocks by range overlap, score-agnostic,
-        # so reweighted scoring over the frame is trivially exact).
-        # single/and/or/wor prune against UNWEIGHTED block maxima and
-        # their light frames carry no positions — exact path.
+        # whose pruned frame is the COMPLETE match set (the AND rule —
+        # used by and/phrase/near — selects blocks by doc-range overlap,
+        # score-agnostic, so decoding them WITH positions and
+        # reweighting is trivially exact). single/or/wor prune against
+        # UNWEIGHTED block maxima (θ does not bound reweighted scores)
+        # — exact path.
         info["reason"] = "weighted-shape"
         return None, info
     if (getattr(index, "_tomb", None) is not None
@@ -549,8 +550,9 @@ def pruned_scored(index: SearchIndex, node, k: int,
     # whole scan+semi-join branch once per term; MapInPandas subtrees
     # never hit ReusedExchange)
     ISIN_CAP = 2048  # literal min_doc lists beyond this go via semi-join
-    # positional kernels downstream?
-    need_pos = shape in ("phrase", "near") \
+    # positional kernels downstream? (wvec: weighted tallies read the
+    # per-instance field bits, so the AND shape decodes positions too)
+    need_pos = shape in ("phrase", "near") or wvec is not None \
         or (wor is not None and wor["need_pos"])
 
     def term_frame(t: str) -> DataFrame:
@@ -769,12 +771,17 @@ def pruned_scored(index: SearchIndex, node, k: int,
     elif shape == "and" and all(
             d <= index.BROADCAST_DF_CAP
             for d in sorted(stats[t][0] for t in terms)[:-1]):
+        def _and_contrib(t):
+            # wvec: the complete pruned frames carry positions — per-slot
+            # weighted contribs, same exprs as the exact path
+            return (index._contrib_expr("tf", idf[t]) if wvec is None
+                    else index._contrib_expr_weighted("positions", idf[t],
+                                                      wvec))
         largest = max(range(len(terms)), key=lambda i: stats[terms[i]][0])
         joined = None
         for i, t in enumerate(terms):
             part = (frames[t]
-                    .select("doc_id",
-                            index._contrib_expr("tf", idf[t]).alias(f"c{i}")))
+                    .select("doc_id", _and_contrib(t).alias(f"c{i}")))
             if joined is None:
                 joined = part if i == largest else F.broadcast(part)
             elif i == largest:
@@ -794,9 +801,12 @@ def pruned_scored(index: SearchIndex, node, k: int,
         # AND additionally requires every slot present
         contribs = None
         for i, t in enumerate(terms):
+            c_expr = (index._contrib_expr("tf", idf[t]) if wvec is None
+                      else index._contrib_expr_weighted("positions", idf[t],
+                                                        wvec))
             branch = (frames[t]
                       .select("doc_id", F.lit(i).alias("slot"),
-                              index._contrib_expr("tf", idf[t]).alias("c")))
+                              c_expr.alias("c")))
             contribs = branch if contribs is None \
                 else contribs.unionByName(branch)
         sums = [F.sum(F.when(F.col("slot") == i, F.col("c"))).alias(f"_s{i}")
