@@ -283,6 +283,12 @@ def main() -> None:
     timings["wand_skew_and_weighted_facade"] = round(_cold_median(
         lambda ix: facade_idx.search("zzhead AND zzrare", k=10,
                                      weights=(2.0,))), 4)
+    # weighted single via WEIGHT-SCALED bounds (gentle boost — the
+    # common case): θ from lb·min(1,w_min), pruning on ub·max(1,w_max)
+    timings["wand_skew_single_weighted_exact"] = round(_cold_median(
+        lambda ix: ix.search("zzhead", k=10, weights=(1.2,)), n=1), 4)
+    timings["wand_skew_single_weighted_facade"] = round(_cold_median(
+        lambda ix: facade_idx.search("zzhead", k=10, weights=(1.2,))), 4)
 
     # round 6: filtered search through the pruned tier (iterative
     # deepening — unfiltered pruned top-4k ∩ filter, exact by the

@@ -165,6 +165,11 @@ def test_weighted_phrase_near_pruned_identical(index, oracle):
                  Fts5Oracle.match_string("near", [t0, t1])),
         "and": (f'"{t0}" AND "{t1}"',
                 Fts5Oracle.match_string("and", [t0, t1])),
+        # single/or prune on WEIGHT-SCALED bounds (ub·max(1,w_max) /
+        # lb·min(1,w_min)) — θ still certifies the k-th weighted score
+        "single": (f'"{t0}"', Fts5Oracle.match_string("single", [t0])),
+        "or": (f'"{t0}" OR "{t1}"',
+               Fts5Oracle.match_string("or", [t0, t1])),
     }
     for weights in [(2.0, 1.0), (0.5, 3.0), (5.0, 0.0)]:
         for kind, (q, match) in cases.items():
@@ -176,24 +181,22 @@ def test_weighted_phrase_near_pruned_identical(index, oracle):
             _assert_identical(got, want, ("pruned", kind, weights))
 
 
-def test_weighted_nonpositional_shapes_gate_exact(index, oracle):
-    """single/or prune against UNWEIGHTED block maxima (θ does not
-    bound reweighted scores) — a weighted query on those shapes must
-    gate back to the exact path (zero-job reason 'weighted-shape') and
-    stay rank-identical end to end."""
+def test_weighted_wor_shape_gates_exact(index, oracle):
+    """The weighted-OR composite shape (phrase-bearing OR) is the one
+    family whose slot-idf pruning rule is not composed with field
+    weights — a weighted query on it must gate back to the exact path
+    (zero-job reason 'weighted-shape') and stay rank-identical."""
     from yetisearch_spark.wand import pruned_topk
     terms = _pick_terms(oracle)
-    t0, t1 = terms[0], terms[1]
-    for kind, q, match in [
-            ("single", f'"{t0}"', Fts5Oracle.match_string("single", [t0])),
-            ("or", f'"{t0}" OR "{t1}"',
-             Fts5Oracle.match_string("or", [t0, t1]))]:
-        df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=(2.0, 1.0))
-        stats = getattr(df, "_pruning_stats", None)
-        assert stats and stats.get("reason") == "weighted-shape", (kind, stats)
-        got = [(r["doc_id"], r["score"]) for r in df.collect()]
-        want = oracle.top_k(match, k=10, weights=(2.0, 1.0))
-        _assert_identical(got, want, ("gated", kind))
+    t0, t1, t2 = terms[0], terms[1], terms[2]
+    q = f'"{t0} {t1}" OR "{t2}"'
+    match = f'"{t0} {t1}" OR "{t2}"'
+    df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=(2.0, 1.0))
+    stats = getattr(df, "_pruning_stats", None)
+    assert stats and stats.get("reason") == "weighted-shape", stats
+    got = [(r["doc_id"], r["score"]) for r in df.collect()]
+    want = oracle.top_k(match, k=10, weights=(2.0, 1.0))
+    _assert_identical(got, want, "gated-wor")
 
 
 def test_weighted_pruned_facade_and_engine(spark, index, oracle):

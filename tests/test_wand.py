@@ -343,3 +343,22 @@ def test_filtered_search_pruned_identical(index):
     finally:
         exact.close()
         routed.close()
+
+
+def test_weighted_single_or_scaled_bounds_identical(index):
+    """Field-weighted single/OR queries prune on WEIGHT-SCALED bounds
+    (ub·max(1,w_max) for pruning, lb·min(1,w_min) for θ — both sound by
+    BM25-contrib monotonicity/concavity in tf). Pruned == exact-path
+    weighted scores, and on head terms blocks are still skipped."""
+    terms, dfs = _common_terms(index)
+    for wvec in [(2.0,), (0.5,)]:
+        for q in [f'"{terms[0]}"',
+                  f'"{terms[0]}" OR "{terms[2]}" OR "{terms[3]}"']:
+            df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=wvec)
+            stats = getattr(df, "_pruning_stats", None)
+            assert stats and "blocks_total" in stats, (q, wvec, stats)
+            got = [(r["doc_id"], round(r["score"], 9))
+                   for r in df.collect()]
+            want = [(r["doc_id"], round(r["score"], 9))
+                    for r in index.search(q, k=10, weights=wvec).collect()]
+            assert got == want, (q, wvec, got[:3], want[:3])

@@ -393,16 +393,23 @@ def pruned_scored(index: SearchIndex, node, k: int,
     if not ok:
         info["reason"] = "shape"
         return None, info
-    if wvec is not None and shape not in ("phrase", "near", "and"):
-        # per-field BM25 weights (round 6): sound ONLY for the shapes
-        # whose pruned frame is the COMPLETE match set (the AND rule —
-        # used by and/phrase/near — selects blocks by doc-range overlap,
-        # score-agnostic, so decoding them WITH positions and
-        # reweighting is trivially exact). single/or/wor prune against
-        # UNWEIGHTED block maxima (θ does not bound reweighted scores)
-        # — exact path.
+    if wvec is not None and shape == "wor":
+        # per-field BM25 weights (round 6). and/phrase/near: the AND
+        # rule selects blocks by doc-range overlap (score-agnostic), so
+        # the frame is the COMPLETE match set — decode with positions
+        # and reweight, trivially exact. single/or: prune against
+        # WEIGHT-SCALED bounds — ub·max(1,w_max) bounds any reweighted
+        # doc (contrib is monotone in tf and contrib(w·t) ≤ w·contrib(t)
+        # for w ≥ 1), lb·min(1,w_min) stays ATTAINED (contrib(w·t) ≥
+        # w·contrib(t) for w ≤ 1), so θ from scaled lbs certifies the
+        # k-th weighted score and scaled-ub pruning is sound. Only the
+        # weighted-OR composite shape routes exact: its slot-idf rule
+        # would need the field scaling composed per slot — not wired.
         info["reason"] = "weighted-shape"
         return None, info
+    wscale = None
+    if wvec is not None:
+        wscale = (min(1.0, min(wvec)), max(1.0, max(wvec)))
     if (getattr(index, "_tomb", None) is not None
             and (not hasattr(index, "_wand_block_overrides")
                  or getattr(index, "_n_tombstoned", 0)
@@ -443,6 +450,14 @@ def pruned_scored(index: SearchIndex, node, k: int,
     idf = {t: index.idf(stats[t][0]) for t in terms}
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
+    if wscale is not None and shape in ("single", "or") \
+            and sum(est_blocks.values()) > driver_cap:
+        # beyond the driver-selection cap the scaled bounds' no-bite case
+        # would decode EVERYTHING with positions through the Spark
+        # selection machinery — at that block count the exact path is
+        # never worse; route there (zero jobs spent, est is driver math)
+        info["reason"] = "weighted-head"
+        return None, info
 
     wor = None
     if shape == "wor":
@@ -510,7 +525,8 @@ def pruned_scored(index: SearchIndex, node, k: int,
     shape_sel = "and" if shape in ("phrase", "near") else shape
     if sum(est_blocks.values()) <= driver_cap:
         full_terms, selected, meta_counts = _driver_select(
-            meta, terms, stats, idf, shape_sel, k, index=index, wor=wor)
+            meta, terms, stats, idf, shape_sel, k, index=index, wor=wor,
+            wscale=wscale)
         if not selected and not full_terms:
             return None, {"reason": "empty"}
         # driver selection yields CONCRETE block keys → push them into the
@@ -526,7 +542,8 @@ def pruned_scored(index: SearchIndex, node, k: int,
         prune_stats = {"blocks_total": n_total, "blocks_decoded": n_sel}
     else:
         full_terms, sel_df = _spark_select(meta, terms, idf, est_blocks,
-                                           shape_sel, k, wor=wor)
+                                           shape_sel, k, wor=wor,
+                                           wscale=wscale)
         if shape_sel == "and" and sel_df is not None and full_terms:
             # O(1)-row envelope of the rare term's doc ranges, pushed into
             # the other terms' scans as literal predicates — postings are
@@ -766,8 +783,10 @@ def pruned_scored(index: SearchIndex, node, k: int,
                                                        stats)}
     if shape == "single":
         t = terms[0]
-        scored = frames[t].select(
-            "doc_id", index._contrib_expr("tf", idf[t]).alias("score"))
+        contrib_1 = (index._contrib_expr("tf", idf[t]) if wvec is None
+                     else index._contrib_expr_weighted("positions", idf[t],
+                                                       wvec))
+        scored = frames[t].select("doc_id", contrib_1.alias("score"))
     elif shape == "and" and all(
             d <= index.BROADCAST_DF_CAP
             for d in sorted(stats[t][0] for t in terms)[:-1]):
@@ -844,7 +863,8 @@ def pruned_scored(index: SearchIndex, node, k: int,
 # ---------------------------------------------------------------------------
 
 def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
-                   index: SearchIndex | None = None, wor: dict | None = None):
+                   index: SearchIndex | None = None, wor: dict | None = None,
+                   wscale: tuple[float, float] | None = None):
     """Collect ≤ driver_cap metadata rows and run the exact selection
     algorithms locally; per-term metadata is memoized on the index (hot
     serving: repeated terms skip the metadata job entirely).
@@ -873,6 +893,14 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
                 by_term[t] = cache[t]
     by_term = {t: by_term.get(t, []) for t in terms}
     meta_counts = {t: len(v) for t, v in by_term.items()}
+    if wscale is not None:
+        # field-weighted query: scale ub by max(1, w_max) (bounds every
+        # reweighted doc) and lb by min(1, w_min) (stays attained) —
+        # LOCAL copies only; the per-term metadata cache keeps raw values
+        w_lo, w_hi = wscale
+        by_term = {t: [(mn, mx, nd, ub * w_hi, lb * w_lo)
+                       for (mn, mx, nd, ub, lb) in v]
+                   for t, v in by_term.items()}
     if not any(by_term.values()):
         return [], set(), meta_counts
 
@@ -936,14 +964,16 @@ def _driver_select(meta: DataFrame, terms, stats, idf, shape, k,
                     selected[t].add((b[0], b[1]))
         _pull_in_overlaps(terms, by_term, selected)
 
+    # any term that kept ALL its blocks goes back as a full term: phase 2
+    # reuses the plain decode (pinned cache when enabled) instead of the
+    # selection semi-join machinery — the AND rarest term always, and
+    # single/or/wor terms whose θ pruned nothing (common under gentle
+    # weight scaling, where the scaled bounds may not bite)
     full_terms: list = []
-    if shape == "and":
-        # the rarest term keeps ALL its blocks — hand it back as a
-        # full term so phase 2 reuses the pinned decoded cache for it
-        rare = min(terms, key=lambda t: stats.get(t, (0, 0))[0])
-        if len(selected[rare]) == meta_counts.get(rare, 0):
-            full_terms = [rare]
-            selected[rare] = set()
+    for t in terms:
+        if selected[t] and len(selected[t]) == meta_counts.get(t, 0):
+            full_terms.append(t)
+            selected[t] = set()
     out = {(t, mn) for t in terms for (mn, _mx) in selected[t]}
     return full_terms, out, meta_counts
 
@@ -973,13 +1003,21 @@ def _pull_in_overlaps(terms, by_term, selected) -> None:
 # ---------------------------------------------------------------------------
 
 def _spark_select(meta: DataFrame, terms, idf, est_blocks, shape, k,
-                  wor: dict | None = None):
+                  wor: dict | None = None,
+                  wscale: tuple[float, float] | None = None):
     """→ (full_terms, selected_blocks_df[(term, min_doc)] | None).
 
     Every rule here is a lazy plan; nothing is collected. Thresholds come
     from orderBy+limit+agg (TakeOrderedAndProject — scale-safe) cross-
     joined back as 1-row broadcast frames."""
     T = len(terms)
+    if wscale is not None:
+        # field-weighted query: sound scaled bounds (see _driver_select);
+        # plan-level only, the stored metadata is untouched
+        meta = (meta.withColumn("bmax_ub",
+                                F.col("bmax_ub") * F.lit(float(wscale[1])))
+                .withColumn("bmax_lb",
+                            F.col("bmax_lb") * F.lit(float(wscale[0]))))
     if shape == "wor":
         # weighted OR (see _wor_plan): θ from bare-term slots' attained
         # lb bounds; prune on per-term WEIGHTED ub; pull in overlaps
