@@ -181,22 +181,25 @@ def test_weighted_phrase_near_pruned_identical(index, oracle):
             _assert_identical(got, want, ("pruned", kind, weights))
 
 
-def test_weighted_wor_shape_gates_exact(index, oracle):
-    """The weighted-OR composite shape (phrase-bearing OR) is the one
-    family whose slot-idf pruning rule is not composed with field
-    weights — a weighted query on it must gate back to the exact path
-    (zero-job reason 'weighted-shape') and stay rank-identical."""
+def test_weighted_wor_pruned_identical(index, oracle):
+    """The weighted-OR composite shape (phrase-bearing OR — the
+    combined-fuzzy M7 family) serves field-weighted queries through the
+    pruned tier: its slot-idf θ/pruning rule composes with the
+    weight-scaled bounds (slot weights multiply the same scaled lb/ub),
+    and phase 2 reuses the exact path's weighted slot exprs. Pruned ==
+    FTS5 oracle at 1e-9."""
     from yetisearch_spark.wand import pruned_topk
     terms = _pick_terms(oracle)
     t0, t1, t2 = terms[0], terms[1], terms[2]
-    q = f'"{t0} {t1}" OR "{t2}"'
-    match = f'"{t0} {t1}" OR "{t2}"'
-    df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=(2.0, 1.0))
-    stats = getattr(df, "_pruning_stats", None)
-    assert stats and stats.get("reason") == "weighted-shape", stats
-    got = [(r["doc_id"], r["score"]) for r in df.collect()]
-    want = oracle.top_k(match, k=10, weights=(2.0, 1.0))
-    _assert_identical(got, want, "gated-wor")
+    q = f'"{t0} {t1}" OR NEAR("{t1}" "{t2}", 10) OR "{t2}"'
+    match = f'"{t0} {t1}" OR NEAR("{t1}" "{t2}", 10) OR "{t2}"'
+    for weights in [(2.0, 1.0), (0.5, 3.0)]:
+        df = pruned_topk(index, q, k=10, gate_blocks=0, wvec=weights)
+        stats = getattr(df, "_pruning_stats", None)
+        assert stats and "blocks_total" in stats, (weights, stats)
+        got = [(r["doc_id"], r["score"]) for r in df.collect()]
+        want = oracle.top_k(match, k=10, weights=weights)
+        _assert_identical(got, want, ("pruned-wor", weights))
 
 
 def test_weighted_pruned_facade_and_engine(spark, index, oracle):

@@ -393,20 +393,16 @@ def pruned_scored(index: SearchIndex, node, k: int,
     if not ok:
         info["reason"] = "shape"
         return None, info
-    if wvec is not None and shape == "wor":
-        # per-field BM25 weights (round 6). and/phrase/near: the AND
-        # rule selects blocks by doc-range overlap (score-agnostic), so
-        # the frame is the COMPLETE match set — decode with positions
-        # and reweight, trivially exact. single/or: prune against
-        # WEIGHT-SCALED bounds — ub·max(1,w_max) bounds any reweighted
-        # doc (contrib is monotone in tf and contrib(w·t) ≤ w·contrib(t)
-        # for w ≥ 1), lb·min(1,w_min) stays ATTAINED (contrib(w·t) ≥
-        # w·contrib(t) for w ≤ 1), so θ from scaled lbs certifies the
-        # k-th weighted score and scaled-ub pruning is sound. Only the
-        # weighted-OR composite shape routes exact: its slot-idf rule
-        # would need the field scaling composed per slot — not wired.
-        info["reason"] = "weighted-shape"
-        return None, info
+    # per-field BM25 weights (round 6). and/phrase/near: the AND rule
+    # selects blocks by doc-range overlap (score-agnostic), so the frame
+    # is the COMPLETE match set — decode with positions and reweight,
+    # trivially exact. single/or/wor: prune against WEIGHT-SCALED
+    # bounds — ub·max(1,w_max) bounds any reweighted doc (contrib is
+    # monotone in tf and contrib(w·t) ≤ w·contrib(t) for w ≥ 1),
+    # lb·min(1,w_min) stays ATTAINED (contrib(w·t) ≥ w·contrib(t) for
+    # w ≤ 1), so θ from scaled lbs certifies the k-th weighted score
+    # and scaled-ub pruning is sound; the wor rule composes the scaling
+    # per slot (its θ/pruning weights multiply the same scaled lb/ub).
     wscale = None
     if wvec is not None:
         wscale = (min(1.0, min(wvec)), max(1.0, max(wvec)))
@@ -450,7 +446,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
     idf = {t: index.idf(stats[t][0]) for t in terms}
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
-    if wscale is not None and shape in ("single", "or") \
+    if wscale is not None and shape in ("single", "or", "wor") \
             and sum(est_blocks.values()) > driver_cap:
         # beyond the driver-selection cap the scaled bounds' no-bite case
         # would decode EVERYTHING with positions through the Spark
@@ -727,6 +723,12 @@ def pruned_scored(index: SearchIndex, node, k: int,
                 wor_handles.append(frames[t])
         if wor_handles:
             index._register_handles(wor_handles)
+        def _slot_contrib(idf_v):
+            # wvec: slot tables carry complete positions (need_pos) —
+            # the same weighted exprs the exact path's slots use
+            return (index._contrib_expr("tf", idf_v) if wvec is None
+                    else index._contrib_expr_weighted("positions", idf_v,
+                                                      wvec))
         contribs = None
         n_slots = len(wor["slots"])
         si = 0
@@ -736,7 +738,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
                 if s["idf"] is not None:
                     br = frames[s["term"]].select(
                         "doc_id", F.lit(si).alias("slot"),
-                        index._contrib_expr("tf", s["idf"]).alias("c"))
+                        _slot_contrib(s["idf"]).alias("c"))
                     contribs = br if contribs is None \
                         else contribs.unionByName(br)
                 si += 1
@@ -746,7 +748,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
                     tbl = index._phrase_match(c, frames=frames)
                     br = tbl.select(
                         "doc_id", F.lit(si).alias("slot"),
-                        index._contrib_expr("tf", s["idf"]).alias("c"))
+                        _slot_contrib(s["idf"]).alias("c"))
                     contribs = br if contribs is None \
                         else contribs.unionByName(br)
                 si += 1
@@ -755,7 +757,9 @@ def pruned_scored(index: SearchIndex, node, k: int,
                     ptables = {p: frames[p.terms[0]].select(
                         "doc_id", "tf", "doc_len", "positions")
                         for p in set(c.phrases)}
-                    ntbl = index._near_table(c, ptables)
+                    # near-table tf_m is already field-weighted (double)
+                    # when wvec rides in — contrib expr unchanged
+                    ntbl = index._near_table(c, ptables, wvec)
                     for m, p in enumerate(c.phrases):
                         s = wor["slots"][si + m]
                         br = ntbl.select(
