@@ -179,27 +179,43 @@ def mf_index(spark, corpus, tmp_path_factory):
     return SearchIndex(spark, out)
 
 
+@pytest.fixture(scope="module")
+def mf_routed(spark, mf_index):
+    """Forced-pruned twin over the same multi-field index dir: weighted
+    queries whose shape the pruned tier serves (round 6: every simple
+    shape) take it; complex trees fall through to the exact path."""
+    ix = SearchIndex(spark, mf_index.index_dir, cache_postings=False,
+                     cache_docs=False)
+    ix.pruned_gate_blocks = 0
+    yield ix
+    ix.close()
+
+
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
 def test_random_trees_weighted_multifield(data, mf_index, mf_oracle,
-                                          vocab_terms):
+                                          mf_routed, vocab_terms):
     """Random trees × non-uniform per-field bm25 weights: the weighted
     tally (position>>FIELD_SHIFT → weight) must stay float-exact under
-    boolean composition and context gating too."""
+    boolean composition and context gating too — on BOTH the exact path
+    and the forced-pruned twin (weight-scaled bounds / complete-frame
+    reweighting, round 6)."""
     terms, prefixes = vocab_terms
     q = data.draw(_tree_strategy(terms, prefixes))
     weights = data.draw(st.sampled_from(
         [(2.0, 1.0), (0.5, 3.0), (5.0, 0.0)]))
-    got = [(r["doc_id"], r["score"]) for r in
-           mf_index.search(q, k=20, weights={"title": weights[0],
-                                             "text": weights[1]}).collect()]
     want = mf_oracle.top_k(q, k=20, weights=list(weights))
-    assert len(got) == len(want), (q, weights, got, want)
-    for (gd, gs), (od, osc) in zip(got, want):
-        assert gd == od, (q, weights, got, want)
-        assert math.isclose(gs, osc, rel_tol=SCORE_TOL, abs_tol=1e-12), \
-            (q, weights, gd, gs, osc)
+    for ix in (mf_index, mf_routed):
+        got = [(r["doc_id"], r["score"]) for r in
+               ix.search(q, k=20, weights={"title": weights[0],
+                                           "text": weights[1]}).collect()]
+        assert len(got) == len(want), (q, weights, got, want)
+        for (gd, gs), (od, osc) in zip(got, want):
+            assert gd == od, (q, weights, got, want)
+            assert math.isclose(gs, osc, rel_tol=SCORE_TOL,
+                                abs_tol=1e-12), \
+                (q, weights, gd, gs, osc)
 
 
 @pytest.fixture(scope="module")
