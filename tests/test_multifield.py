@@ -233,12 +233,18 @@ def test_weighted_pruned_facade_and_engine(spark, index, oracle):
                          cache_docs=False)
         ix.pruned_gate_blocks = eng.config["pruned_gate_blocks"]
         eng.indexes["mf"] = ix
-    sq = SearchQuery(query=f'"{t0} {t1}"', limit=10,
-                     boost_fields={"title": 3.0, "text": 0.5})
-    a = exact_e.search("mf", sq)
-    b = routed_e.search("mf", sq)
-    assert b["total"] == a["total"] and b["total"] > 0
-    assert [r["id"] for r in b["results"]] == \
-           [r["id"] for r in a["results"]]
-    assert [r["score"] for r in b["results"]] == \
-           [r["score"] for r in a["results"]]
+    t2 = terms[2]
+    for query in [f'"{t0} {t1}"',
+                  # weighted combined-fuzzy composite through the engine:
+                  # page from the wor phase 2 over weight-scaled pruned
+                  # frames, total from the count-only plan
+                  f'"{t0} {t1}" OR NEAR("{t1}" "{t2}", 10) OR "{t2}"']:
+        sq = SearchQuery(query=query, limit=10,
+                         boost_fields={"title": 3.0, "text": 0.5})
+        a = exact_e.search("mf", sq)
+        b = routed_e.search("mf", sq)
+        assert b["total"] == a["total"] and b["total"] > 0, query
+        assert [r["id"] for r in b["results"]] == \
+               [r["id"] for r in a["results"]], query
+        assert [r["score"] for r in b["results"]] == \
+               [r["score"] for r in a["results"]], query
