@@ -248,3 +248,26 @@ def test_weighted_pruned_facade_and_engine(spark, index, oracle):
                [r["id"] for r in a["results"]], query
         assert [r["score"] for r in b["results"]] == \
                [r["score"] for r in a["results"]], query
+
+
+def test_weighted_search_multiple_parity(spark, index):
+    """search_multiple delegates field weights to each per-index search
+    (reference SqliteStorage.php:1584-1597): weighted shards must score
+    bm25(fts, w…), pruned-merge == exact-merge, and the boosts must
+    actually move the scores vs the unweighted merge."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    dirs = {"a": index.index_dir, "b": index.index_dir}
+    exact = Engine(spark, dirs, config={"pruned_gate_blocks": -1,
+                                        "enable_fuzzy": False})
+    routed = Engine(spark, dirs, config={"pruned_gate_blocks": 0,
+                                         "enable_fuzzy": False})
+    term = _pick_terms_engine(index)
+    sq = SearchQuery(query=f'"{term}"', boost_fields={"title": 4.0})
+    ea = exact.search_multiple(["a", "b"], sq, k=12).collect()
+    ra = routed.search_multiple(["a", "b"], sq, k=12).collect()
+    assert ea and [(r["_index"], r["doc_id"], r["score"]) for r in ra] == \
+        [(r["_index"], r["doc_id"], r["score"]) for r in ea]
+    un = exact.search_multiple(["a", "b"], SearchQuery(query=f'"{term}"'),
+                               k=12).collect()
+    assert [r["score"] for r in ea] != [r["score"] for r in un]

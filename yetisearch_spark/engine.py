@@ -1245,13 +1245,20 @@ class Engine:
         parts = []
         for name in indices:
             _, idx = self._live(name)
+            # reference searchMultiple delegates the FULL query options to
+            # each per-index search (SqliteStorage.php:1584-1597), so
+            # field weights apply per index — multi-field shards score
+            # bm25(fts, w…), single-field shards ignore the boosts
+            w = q.boost_fields \
+                if q.boost_fields and len(idx.fields) > 1 else None
             if q.filters:
                 node = parse_query(q.query)
-                scores = idx.match_scores(node)
+                scores = idx.match_scores(node, weights=w)
                 docs = apply_filters(idx._docs, q.filters)
                 part = docs.join(scores, "doc_id")
             else:
-                part = idx.search(q.query, k=k_eff, with_docs=True)
+                part = idx.search(q.query, k=k_eff, with_docs=True,
+                                  weights=w)
             parts.append(part.withColumn("_index", F.lit(name)))
         merged = parts[0]
         for p in parts[1:]:
