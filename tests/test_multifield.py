@@ -271,3 +271,34 @@ def test_weighted_search_multiple_parity(spark, index):
     un = exact.search_multiple(["a", "b"], SearchQuery(query=f'"{term}"'),
                                k=12).collect()
     assert [r["score"] for r in ea] != [r["score"] for r in un]
+
+
+def test_weighted_filtered_engine_parity(spark, index, oracle):
+    """Weighted AND/phrase + metadata filter through Engine.search: the
+    docs_in_set routing substitutes the complete weighted pruned frame
+    for match_scores, so page, filtered total, and scores must equal the
+    gate-disabled twin's. (Single-term shapes keep the exact path under
+    filters — also asserted identical.)"""
+    from yetisearch_spark.engine import Engine, SearchQuery
+
+    exact = Engine(spark, {"mf": index.index_dir},
+                   config={"pruned_gate_blocks": -1, "enable_fuzzy": False})
+    routed = Engine(spark, {"mf": index.index_dir},
+                    config={"pruned_gate_blocks": 0, "enable_fuzzy": False})
+    terms = _pick_terms(oracle)
+    t0, t1 = terms[0], terms[1]
+    any_hits = False
+    for query in [f'"{t0} {t1}"', f'"{t0}" AND "{t1}"', f'"{t0}"']:
+        sq = SearchQuery(query=query, limit=10,
+                         boost_fields={"title": 3.0},
+                         filters=[{"field": "role", "operator": "=",
+                                   "value": "user"}])
+        a = exact.search("mf", sq)
+        b = routed.search("mf", sq)
+        assert b["total"] == a["total"], query
+        any_hits = any_hits or a["total"] > 0
+        assert [r["id"] for r in b["results"]] == \
+               [r["id"] for r in a["results"]], query
+        assert [r["score"] for r in b["results"]] == \
+               [r["score"] for r in a["results"]], query
+    assert any_hits
