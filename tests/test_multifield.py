@@ -266,8 +266,16 @@ def test_weighted_search_multiple_parity(spark, index):
     sq = SearchQuery(query=f'"{term}"', boost_fields={"title": 4.0})
     ea = exact.search_multiple(["a", "b"], sq, k=12).collect()
     ra = routed.search_multiple(["a", "b"], sq, k=12).collect()
-    assert ea and [(r["_index"], r["doc_id"], r["score"]) for r in ra] == \
-        [(r["_index"], r["doc_id"], r["score"]) for r in ea]
+    # both shards serve the SAME index dir, so every (score, doc_id)
+    # ties across _index tags and the tie order is unspecified — compare
+    # as sorted multisets (even k ⇒ the limit never splits an a/b pair),
+    # and check the merge order contract separately
+    assert ea and sorted(((r["_index"], r["doc_id"], r["score"])
+                          for r in ra)) == \
+        sorted(((r["_index"], r["doc_id"], r["score"]) for r in ea))
+    for rows in (ea, ra):
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
     un = exact.search_multiple(["a", "b"], SearchQuery(query=f'"{term}"'),
                                k=12).collect()
     assert [r["score"] for r in ea] != [r["score"] for r in un]
