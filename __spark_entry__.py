@@ -70,24 +70,52 @@ def _corpus_stats(docs: DataFrame, dl: DataFrame) -> tuple[int, float]:
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1: BM25 top-10 (OR over BM25_TERMS), FTS5 idf clamp semantics."""
+    """R1: BM25 top-10 (OR over BM25_TERMS), FTS5 idf clamp semantics.
+
+    Round-7 plan (same results, guide §2.3/§2.4): dl and per-term tfs are
+    per-ROW array expressions over one split() — the old explode →
+    groupBy(doc_id) shuffled ~10⁸ token rows twice (once inside the
+    stats action, once for scoring) and joined three frames back
+    together. Now: one scan aggregates n/avgdl/dfs in a single row, a
+    second scan projects the per-doc score directly — zero wide
+    shuffles, no joins, the same 4dp-rounded values."""
     docs = _docs(spark, sf_dir)
-    tok = _tokens(docs)
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs, avgdl = _corpus_stats(docs, dl)
-    tfs = (tok.where(F.col("term").isin(BM25_TERMS))
-           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf_raw = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    idf = F.when(idf_raw <= 0.0, F.lit(1e-6)).otherwise(idf_raw)
-    scored = (tfs.join(dfs, "term").join(dl, "doc_id")
-              .select("doc_id",
-                      (idf * F.col("tf").cast("double") * (K1 + 1.0)
-                       / (F.col("tf").cast("double")
-                          + K1 * (1.0 - B + B * F.col("dl").cast("double") / float(avgdl)))
-                       ).alias("c"))
-              .groupBy("doc_id").agg(F.sum("c").alias("s")))
-    return (scored.select("doc_id", F.round("s", 4).alias("score"))
+    arr = F.split(F.lower("text"), TOKEN_SPLIT)
+
+    def _eq(term):
+        # one-argument lambda (a second parameter would be the index)
+        return lambda x: x == term
+
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != "")).alias("dl"),
+        *[F.size(F.filter(arr, _eq(t))).alias(f"tf_{i}")
+          for i, t in enumerate(BM25_TERMS)])
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        # avgdl over docs with ≥1 token — the tok-derived dl table's avg
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(BM25_TERMS))]).collect()[0]
+    n_docs, avgdl = float(row["n"]), float(row["avgdl"])
+    import math
+    score = None
+    for i in range(len(BM25_TERMS)):
+        df = float(row[f"df_{i}"])
+        v = math.log((n_docs - df + 0.5) / (df + 0.5))
+        idf = v if v > 0.0 else 1e-6
+        tf = F.col(f"tf_{i}").cast("double")
+        c = F.when(F.col(f"tf_{i}") > 0,
+                   F.lit(idf) * tf * (K1 + 1.0)
+                   / (tf + K1 * (1.0 - B + B * F.col("dl").cast("double")
+                                 / avgdl))).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    any_tf = None
+    for i in range(len(BM25_TERMS)):
+        e = F.col(f"tf_{i}") > 0
+        any_tf = e if any_tf is None else (any_tf | e)
+    return (base.where(any_tf)
+            .select("doc_id", F.round(score, 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
@@ -119,11 +147,18 @@ def q_count_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: adjacent-token phrase "data query" — doc count."""
-    tok = _tokens(_docs(spark, sf_dir))
-    a = tok.where(F.col("term") == "data").select("doc_id", F.col("pos").alias("pa"))
-    b = tok.where(F.col("term") == "query").select("doc_id", F.col("pos").alias("pb"))
-    hits = a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
-    return hits.agg(F.count_distinct("doc_id").cast("long").alias("cnt"))
+    # Round-7 plan (same result): adjacency on raw split positions is a
+    # per-ROW property — zip the token array with its own 1-shift and
+    # test (data, query) pairs directly. The old plan exploded the
+    # corpus twice (two full tokenize passes) and shuffled a self-join;
+    # this is one scan, no join, no shuffle (guide §2.4).
+    docs = _docs(spark, sf_dir)
+    arr = F.split(F.lower("text"), TOKEN_SPLIT)
+    pairs = F.zip_with(
+        arr, F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, y: (x == "data") & (y == "query"))
+    return (docs.where(F.exists(pairs, lambda v: v))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
 
 def q_keyword_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,15 +171,18 @@ def q_keyword_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: group roll-up keeping an argmax representative per group
     (reference dedup-by-route, src/Search/SearchEngine.php:1112-1169)."""
+    # Round-7 plan (same result): the argmax representative is min_by
+    # over the (-n_chars, doc_id) struct inside the SAME per-source
+    # aggregation — one hash agg with map-side partials instead of a
+    # window sort + second agg + join (guide §2.3/§2.4).
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    rep = (docs.withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") == 1)
-           .select("source", F.col("doc_id").alias("rep_doc_id")))
-    agg = (docs.groupBy("source")
-           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("n_chars").cast("long").alias("total_chars")))
-    return agg.join(rep, "source").orderBy("source")
+    rep = F.min_by("doc_id", F.struct((-F.col("n_chars")).alias("nn"),
+                                      F.col("doc_id")))
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 rep.alias("rep_doc_id"))
+            .orderBy("source"))
 
 
 def q_topk_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,11 +205,19 @@ def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8: window function — per-user argmax event."""
+    """§2.8: window function — per-user argmax event.
+
+    Round-7 plan (same result): the rn=1 row of a (value DESC, event_id
+    ASC) window is min_by over the (-value, event_id) struct — a plain
+    hash aggregation with MAP-SIDE partial aggregation, replacing the
+    window's full shuffle+sort of every event row (guide §2.3)."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    return (ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-            .select("user_id", "event_id", F.round("value", 4).alias("value"))
+    top = F.min_by(F.struct("event_id", "value"),
+                   F.struct((-F.col("value")).alias("nv"),
+                            F.col("event_id")))
+    return (ev.groupBy("user_id").agg(top.alias("top"))
+            .select("user_id", F.col("top.event_id").alias("event_id"),
+                    F.round("top.value", 4).alias("value"))
             .orderBy("user_id"))
 
 
@@ -186,13 +232,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-pipeline: token counting per lang."""
+    """Training-pipeline: token counting per lang.
+
+    Round-7 plan (same result): n_tok is a per-ROW array expression —
+    the old explode → groupBy(doc_id) → left-join shuffled every token
+    row and every doc row; this is one scan + one tiny per-lang
+    aggregation (guide §2.3 "aggregate before you shuffle")."""
     docs = _docs(spark, sf_dir)
-    tok = _tokens(docs)
-    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    joined = docs.select("doc_id", "lang").join(per_doc, "doc_id", "left") \
-                 .fillna(0, ["n_tok"])
-    return (joined.groupBy("lang")
+    arr = F.split(F.lower("text"), TOKEN_SPLIT)
+    n_tok = F.size(F.filter(arr, lambda x: x != ""))
+    return (docs.select("lang", n_tok.alias("n_tok"))
+            .groupBy("lang")
             .agg(F.sum("n_tok").cast("long").alias("total_tokens"),
                  F.round(F.avg("n_tok"), 4).alias("avg_tokens"))
             .orderBy("lang"))

@@ -237,6 +237,156 @@ def encode_posting_group_blobs(doc_ids: np.ndarray, tfs: np.ndarray,
     return rows
 
 
+def _ragged_gather_idx(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Indices [s0..s0+c0) ++ [s1..s1+c1) ++ … as one int64 array."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return (np.repeat(starts, counts)
+            + (np.arange(total, dtype=np.int64) - np.repeat(out_off, counts)))
+
+
+def _segmented_cumsum(vals: np.ndarray, seg_starts: np.ndarray,
+                      counts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum of ``vals`` (segments given by start
+    index + length over a flat array), vectorized: one global cumsum,
+    then subtract each segment's incoming prefix."""
+    if vals.size == 0:
+        return vals
+    cs = np.cumsum(vals)
+    base = cs[seg_starts] - vals[seg_starts]
+    return cs - np.repeat(base, counts)
+
+
+def decode_posting_batch(boundaries: np.ndarray, buf: np.ndarray,
+                         with_positions: bool = False):
+    """Decode MANY posting blocks in one vectorized pass (no per-doc or
+    per-block Python loops on the hot path).
+
+    ``boundaries``: int64 array of N+1 byte offsets into ``buf`` — block
+    i's bytes are buf[boundaries[i]:boundaries[i+1]] (exactly the Arrow
+    BinaryArray offsets+values layout, so callers can pass the column's
+    buffers zero-copy). ``buf``: uint8 array of all block bytes.
+
+    Returns (block_rows, doc_ids, tfs, doc_lens[, pos_offsets, pos_values])
+    where block_rows[i] is block i's doc count (callers repeat per-block
+    metadata like the term string with it) and positions are returned as
+    flat int32 values + int64 row offsets (ready for
+    pyarrow.ListArray.from_arrays — zero row-wise assembly).
+
+    Exactness: block format pins n_pos == tf for every doc (every encoder
+    writes len(positions) as the tf — see encode_posting_group*/the runs
+    kernel), which lets the per-doc [n_pos, deltas…] records be located
+    by a cumsum over the already-decoded tfs instead of a sequential
+    walk. The invariant is asserted per batch; a violating buffer falls
+    back to the per-block reference decoder (decode_posting_block).
+    """
+    nblk = boundaries.size - 1
+    if nblk <= 0 or buf.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        if with_positions:
+            return (np.zeros(0, np.int64), e, e, e,
+                    np.zeros(1, np.int64), np.empty(0, np.int32))
+        return np.zeros(0, np.int64), e, e, e
+
+    starts = boundaries[:-1]
+    # varint ends are a PER-BYTE property (bit 7 clear), so block varint
+    # boundaries can be located without any sequential walk
+    is_last = (buf & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if not with_positions:
+        # decode ONLY the header varints (1 + 3n per block): the
+        # positions tail is most of the bytes and none of it is needed.
+        # First varint (n docs) decoded directly — blocks cap n at
+        # BLOCK_SIZE so this converges in 1-2 byte passes.
+        first = buf[starts].astype(np.int64)
+        n_arr = first & 0x7F
+        cont = first >= 128
+        step = np.zeros(nblk, dtype=np.int64)
+        shift = 7
+        while cont.any():
+            step[cont] += 1
+            nxt = buf[starts[cont] + step[cont]].astype(np.int64)
+            n_arr[cont] |= (nxt & 0x7F) << shift
+            nxt_cont = np.zeros(nblk, dtype=bool)
+            nxt_cont[cont] = nxt >= 128
+            cont = nxt_cont
+            shift += 7
+        blk_first = np.searchsorted(ends, starts)
+        head_end = ends[blk_first + 3 * n_arr]     # last header varint byte
+        head_len = head_end - starts + 1
+        vals = decode_varints(buf[_ragged_gather_idx(starts, head_len)])
+        blk_v0 = np.concatenate(([0],
+                                 np.cumsum(1 + 3 * n_arr)))[:-1]
+    else:
+        vals = decode_varints(buf)
+        # varint index of each block's first varint: count of varint ends
+        # strictly before the block's first byte
+        blk_v0 = np.searchsorted(ends, starts)
+        n_arr = vals[blk_v0].astype(np.int64)      # docs per block
+    total_docs = int(n_arr.sum())
+    doc_idx = _ragged_gather_idx(blk_v0 + 1, n_arr)
+    deltas = vals[doc_idx].astype(np.int64)
+    blk_doc_starts = np.concatenate(([0], np.cumsum(n_arr)))[:-1]
+    doc_ids = _segmented_cumsum(deltas, blk_doc_starts, n_arr)
+    tfs = vals[_ragged_gather_idx(blk_v0 + 1 + n_arr, n_arr)].astype(np.int64)
+    doc_lens = vals[_ragged_gather_idx(blk_v0 + 1 + 2 * n_arr,
+                                       n_arr)].astype(np.int64)
+    if not with_positions:
+        return n_arr, doc_ids, tfs, doc_lens
+
+    # positions region of block b starts at varint blk_v0[b] + 1 + 3n_b;
+    # doc j's count slot sits j + (Σ tf of earlier docs in the block)
+    # varints further in — locatable because n_pos == tf (verified below)
+    pos_v0 = blk_v0 + 1 + 3 * n_arr
+    tf_excl = _segmented_cumsum(tfs, blk_doc_starts, n_arr) - tfs
+    in_blk_ord = (np.arange(total_docs, dtype=np.int64)
+                  - np.repeat(blk_doc_starts, n_arr))
+    count_slots = np.repeat(pos_v0, n_arr) + in_blk_ord + tf_excl
+    if total_docs and not (vals[count_slots] == tfs.astype(np.uint64)).all():
+        # foreign buffer where n_pos != tf — sequential reference decode
+        return _decode_batch_fallback(boundaries, buf, True)
+    pdelta_idx = _ragged_gather_idx(count_slots + 1, tfs)
+    pdeltas = vals[pdelta_idx].astype(np.int64)
+    doc_pos_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    pos_values = _segmented_cumsum(pdeltas, doc_pos_starts,
+                                   tfs).astype(np.int32)
+    pos_offsets = np.concatenate(([0], np.cumsum(tfs)))
+    return n_arr, doc_ids, tfs, doc_lens, pos_offsets, pos_values
+
+
+def _decode_batch_fallback(boundaries: np.ndarray, buf: np.ndarray,
+                           with_positions: bool):
+    """Reference per-block decode, same return shape as
+    decode_posting_batch (only reachable on buffers violating the
+    n_pos == tf block invariant — no production encoder emits those)."""
+    nblk = boundaries.size - 1
+    rows, ids_l, tfs_l, dls_l, pos_l = [], [], [], [], []
+    for i in range(nblk):
+        data = buf[boundaries[i]:boundaries[i + 1]].tobytes()
+        if with_positions:
+            ids, tf, dl, pos = decode_posting_block(data, with_positions=True)
+            pos_l.extend(pos)
+        else:
+            ids, tf, dl = decode_posting_block(data)
+        rows.append(ids.size)
+        ids_l.append(ids)
+        tfs_l.append(tf)
+        dls_l.append(dl)
+    cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
+           else np.empty(0, dt))
+    out = (np.asarray(rows, dtype=np.int64), cat(ids_l, np.int64),
+           cat(tfs_l, np.int64), cat(dls_l, np.int64))
+    if not with_positions:
+        return out
+    counts = np.fromiter((p.size for p in pos_l), np.int64, len(pos_l))
+    pos_offsets = np.concatenate(([0], np.cumsum(counts)))
+    pos_values = (np.concatenate(pos_l).astype(np.int32) if pos_l
+                  else np.empty(0, np.int32))
+    return out + (pos_offsets, pos_values)
+
+
 def decode_posting_block(data: bytes, with_positions: bool = False):
     """→ (doc_ids, tfs, doc_lens[, positions list]) from one encoded block."""
     vals = decode_varints(data)

@@ -227,7 +227,7 @@ def _probe_term_members(index: SearchIndex, term: str,
     light decode IS the cost of a naive union count). The output may
     contain extra docs from partially-covered blocks — callers only use
     it to REMOVE cand rows (anti-join), so a superset is exact."""
-    from .query import _DECODED_SCHEMA, _decode_factory
+    from .query import decode_plan
     from .xxhash64 import bucket_of
 
     scan = (index._postings
@@ -236,8 +236,7 @@ def _probe_term_members(index: SearchIndex, term: str,
     hit = scan.join(F.broadcast(cand),
                     (F.col("doc_id") >= F.col("min_doc"))
                     & (F.col("doc_id") <= F.col("max_doc")), "left_semi")
-    dec = hit.select("term", "data").mapInPandas(
-        _decode_factory(False), schema=_DECODED_SCHEMA)
+    dec = decode_plan(hit, False)
     # no tombstone filter: a hidden doc is never in cand, so it cannot
     # be removed by the anti-join
     return dec.select("doc_id")
@@ -291,16 +290,45 @@ def _exact_count_thunk(index: SearchIndex, node, shape: str, stats: dict,
                         continue  # dead slot matches nothing
                     tbl = index._match_cache.get(("ph", c.terms))
                     if tbl is None:
-                        tbl = index._phrase_match(c, frames=frames)
+                        # count-complete rebuild (advice r6: the θ-pruned
+                        # wor frames may be missing matches whose every
+                        # block fell below θ). The pruned PHRASE route's
+                        # AND-rule frames are the complete match set, so
+                        # its scored frame's doc set is count-exact and
+                        # never needs the full positional head decode.
+                        sub, sinfo = pruned_scored(index, c, 1,
+                                                   gate_blocks=0)
+                        if sub is not None and sinfo.get("count_exact"):
+                            tbl = sub
+                        else:
+                            tbl = index._phrase_match(c)
                     pos_parts.append((int(df_ph), tbl.select("doc_id")))
                 elif isinstance(c, Near):
                     if not all(p.terms[0] in stats for p in c.phrases):
                         continue  # an OOV member kills the whole NEAR
-                    ptables = {p: frames[p.terms[0]].select(
-                        "doc_id", "tf", "doc_len", "positions")
-                        for p in set(c.phrases)}
-                    ntbl = index._near_table(c, ptables)
                     est = min(stats[p.terms[0]][0] for p in c.phrases)
+                    # count-complete NEAR doc set (advice r6 HIGH: the
+                    # θ-pruned wor member frames can drop a NEAR-only
+                    # match whose blocks fell below θ — the count must
+                    # come from complete member frames). A cached
+                    # complete NEAR table serves directly; otherwise the
+                    # pruned NEAR route's AND-rule frames (complete for
+                    # the match set, bounded by the rarest member's
+                    # ranges) build it without a full head decode.
+                    ntbl = index._match_cache.get(
+                        ("nr", tuple(p.terms for p in c.phrases),
+                         c.distance, None))
+                    if ntbl is None:
+                        sub, sinfo = pruned_scored(index, c, 1,
+                                                   gate_blocks=0)
+                        if sub is not None and sinfo.get("count_exact"):
+                            ntbl = sub
+                        else:
+                            ptables = {p: index._decoded_for_term(
+                                p.terms[0], with_positions=True).select(
+                                "doc_id", "tf", "doc_len", "positions")
+                                for p in set(c.phrases)}
+                            ntbl = index._near_table(c, ptables)
                     pos_parts.append((int(est), ntbl.select("doc_id")))
         if not bare and not pos_parts:
             return None, 0
@@ -555,7 +583,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
             if env["lo"] is not None:
                 env_range = (int(env["lo"]), int(env["hi"]))
 
-    from .query import _DECODED_SCHEMA, _decode_factory
+    from .query import _DECODED_SCHEMA, decode_plan
     from .xxhash64 import bucket_of
 
     # ONE frame per term — each posting scan executes exactly once per
@@ -606,8 +634,7 @@ def pruned_scored(index: SearchIndex, node, k: int,
                                   & (F.col("max_doc") >= env_range[0]))
             scan = scan.join(F.broadcast(sel_df.where(F.col("term") == t)),
                              ["term", "min_doc"], "left_semi")
-        dec = scan.select("term", "data").mapInPandas(
-            _decode_factory(need_pos), schema=_DECODED_SCHEMA)
+        dec = decode_plan(scan, need_pos)
         if getattr(index, "_tomb", None) is not None:
             # delete-exact phase 2 (mirrors _decoded_for_term's filter)
             dec = dec.join(index._tomb.select("doc_id"), "doc_id",
