@@ -49,6 +49,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out before CPU-heavy per-row work (round 7, guide
+    §2.5 input skew): the sf tables are single small parquet files (1-2
+    row groups), so their scans cap at 2 tasks no matter the core count
+    — tokenize-class per-row work must be spread AFTER the scan. Width
+    scales with the session's cores, not a constant; round-robin keeps
+    retry determinism (sortBeforeRepartition stays on)."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, term) with the simple SQL-parity tokenizer (0-based
     pos; only relative positions are ever compared)."""
@@ -80,48 +91,45 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scan projects the per-doc score directly — zero wide
     shuffles, no joins, the same 4dp-rounded values."""
     docs = _docs(spark, sf_dir)
-    arr = F.split(F.lower("text"), TOKEN_SPLIT)
-
-    def _eq(term):
-        # one-argument lambda (a second parameter would be the index)
-        return lambda x: x == term
-
-    base = docs.select(
-        "doc_id",
-        F.size(F.filter(arr, lambda x: x != "")).alias("dl"),
-        *[F.size(F.filter(arr, _eq(t))).alias(f"tf_{i}")
+    n_docs = float(docs.count())
+    tok = _tokens(_fanout(docs))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
           for i, t in enumerate(BM25_TERMS)])
-    row = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        # avgdl over docs with ≥1 token — the tok-derived dl table's avg
-        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+    # avgdl/dfs as a broadcast 1-row branch over the SAME per_doc frame:
+    # the count branch reuses the groupBy exchange (ReusedExchange), so
+    # the whole query is ONE tokenize pass + ONE shuffle + ONE action
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-          for i in range(len(BM25_TERMS))]).collect()[0]
-    n_docs, avgdl = float(row["n"]), float(row["avgdl"])
-    import math
+          for i in range(len(BM25_TERMS))])
+    j = per_doc.crossJoin(F.broadcast(stats))
     score = None
-    for i in range(len(BM25_TERMS)):
-        df = float(row[f"df_{i}"])
-        v = math.log((n_docs - df + 0.5) / (df + 0.5))
-        idf = v if v > 0.0 else 1e-6
-        tf = F.col(f"tf_{i}").cast("double")
-        c = F.when(F.col(f"tf_{i}") > 0,
-                   F.lit(idf) * tf * (K1 + 1.0)
-                   / (tf + K1 * (1.0 - B + B * F.col("dl").cast("double")
-                                 / avgdl))).otherwise(F.lit(0.0))
-        score = c if score is None else score + c
     any_tf = None
     for i in range(len(BM25_TERMS)):
+        dfc = F.col(f"df_{i}").cast("double")
+        idf_raw = F.log((F.lit(n_docs) - dfc + 0.5) / (dfc + 0.5))
+        idf = F.when(idf_raw <= 0.0, F.lit(1e-6)).otherwise(idf_raw)
+        tf = F.col(f"tf_{i}").cast("double")
+        c = F.when(F.col(f"tf_{i}") > 0,
+                   idf * tf * (K1 + 1.0)
+                   / (tf + K1 * (1.0 - B + B * F.col("dl").cast("double")
+                                 / F.col("avgdl")))).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
         e = F.col(f"tf_{i}") > 0
         any_tf = e if any_tf is None else (any_tf | e)
-    return (base.where(any_tf)
+    return (j.where(any_tf)
             .select("doc_id", F.round(score, 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: vocabulary aggregation (term → df, cf), top-100 by df."""
-    tok = _tokens(_docs(spark, sf_dir))
+    """A6: vocabulary aggregation (term → df, cf), top-100 by df.
+
+    Round-7: fan the 2-task scan out before the explode so the tokenize
+    + map-side partial (term, doc) aggregation run at full width."""
+    tok = _tokens(_fanout(_docs(spark, sf_dir)))
     per_doc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     return (per_doc.groupBy("term")
             .agg(F.count(F.lit(1)).cast("long").alias("df"),
@@ -147,17 +155,14 @@ def q_count_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: adjacent-token phrase "data query" — doc count."""
-    # Round-7 plan (same result): adjacency on raw split positions is a
-    # per-ROW property — zip the token array with its own 1-shift and
-    # test (data, query) pairs directly. The old plan exploded the
-    # corpus twice (two full tokenize passes) and shuffled a self-join;
-    # this is one scan, no join, no shuffle (guide §2.4).
+    # Round-7 plan (same result): two tokens are ADJACENT in the raw
+    # split exactly when the text has the alnum-run "data", one
+    # separator run, then the alnum-run "query" — one codegen regex
+    # pass per row. The old plan exploded the corpus twice and shuffled
+    # a positional self-join (guide §2.4: remove shuffles outright).
     docs = _docs(spark, sf_dir)
-    arr = F.split(F.lower("text"), TOKEN_SPLIT)
-    pairs = F.zip_with(
-        arr, F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-        lambda x, y: (x == "data") & (y == "query"))
-    return (docs.where(F.exists(pairs, lambda v: v))
+    pat = "(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)"
+    return (docs.where(F.lower(F.col("text")).rlike(pat))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
 
@@ -240,8 +245,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (guide §2.3 "aggregate before you shuffle")."""
     docs = _docs(spark, sf_dir)
     arr = F.split(F.lower("text"), TOKEN_SPLIT)
-    n_tok = F.size(F.filter(arr, lambda x: x != ""))
-    return (docs.select("lang", n_tok.alias("n_tok"))
+    n_tok = F.size(F.array_remove(arr, ""))
+    return (_fanout(docs).select("lang", n_tok.alias("n_tok"))
             .groupBy("lang")
             .agg(F.sum("n_tok").cast("long").alias("total_tokens"),
                  F.round(F.avg("n_tok"), 4).alias("avg_tokens"))

@@ -244,8 +244,21 @@ def analyze(text: str, language: str = "english",
     return out
 
 
+#: process-level stem/validity memo, shared across Arrow batches AND
+#: tasks on a reused Python worker (guide §4.5: heavyweight per-token
+#: work — regex stemming — amortizes across the whole executor life).
+#: stem() is pure, so reuse is exact; bounded to keep worker RSS sane.
+_STEM_MEMO: dict = {}
+_STEM_MEMO_MAX = 2_000_000
+
+
 def analyze_batch(texts: Iterable[str],
                   language: str = "english") -> List[List[str]]:
-    """Analyze a batch sharing one stem memo (vocabulary ≪ token count)."""
-    memo: dict = {}
-    return [analyze(t or "", language, _memo=memo) for t in texts]
+    """Analyze a batch sharing the process-level stem memo (vocabulary
+    ≪ token count; round 7: the memo now persists across batches and
+    tasks instead of re-stemming the vocabulary every 10k docs)."""
+    memo = _STEM_MEMO.setdefault(language, {})
+    out = [analyze(t or "", language, _memo=memo) for t in texts]
+    if len(memo) > _STEM_MEMO_MAX:
+        memo.clear()
+    return out

@@ -278,13 +278,26 @@ def _exact_count_thunk(index: SearchIndex, node, shape: str, stats: dict,
                 if t in stats:
                     bare[t] = stats[t][0]
         else:
+            # bare slots first: a phrase/NEAR slot whose ANY constituent
+            # is also a bare slot (or the head) is REDUNDANT in the count
+            # union — its matches all contain that constituent, so they
+            # are covered by the constituent's full light decode (or, for
+            # the head, excluded by the anti-join and already in `base`).
+            # Dropping them keeps the count exact and skips the
+            # positional slot builds entirely on the common M7 shape
+            # (phrase/NEAR over the same terms as the bare slots).
+            for c in dict.fromkeys(node.children):
+                if isinstance(c, Phrase) and len(c.terms) == 1 \
+                        and c.terms[0] in stats:
+                    bare[c.terms[0]] = stats[c.terms[0]][0]
             for c in dict.fromkeys(node.children):
                 if isinstance(c, Phrase) and len(c.terms) == 1:
-                    if c.terms[0] in stats:
-                        bare[c.terms[0]] = stats[c.terms[0]][0]
+                    pass
                 elif isinstance(c, Phrase):
                     if not all(t in stats for t in c.terms):
                         continue
+                    if any(t in bare for t in c.terms):
+                        continue  # covered by a bare slot / the head
                     df_ph = index._df_count_cache.get(("ph", c.terms))
                     if not df_ph:
                         continue  # dead slot matches nothing
@@ -306,6 +319,8 @@ def _exact_count_thunk(index: SearchIndex, node, shape: str, stats: dict,
                 elif isinstance(c, Near):
                     if not all(p.terms[0] in stats for p in c.phrases):
                         continue  # an OOV member kills the whole NEAR
+                    if any(p.terms[0] in bare for p in c.phrases):
+                        continue  # covered by a bare slot / the head
                     est = min(stats[p.terms[0]][0] for p in c.phrases)
                     # count-complete NEAR doc set (advice r6 HIGH: the
                     # θ-pruned wor member frames can drop a NEAR-only
