@@ -595,38 +595,73 @@ class SearchIndex:
             rows = (self._term_stats.orderBy(F.desc("df"))
                     .limit(max(top_df_terms, positional_terms))
                     .select("term", "df").collect())
-            promoted = []
+            # round 7 fill shape: ONE combined scan+decode per variant
+            # (a per-term fill paid ~25 ms of Python-runner task setup
+            # × 96 frames — the decode itself is milliseconds), then
+            # each cached frame is a pure-JVM filter over the combined
+            # in-memory frame, co-partitioned layout inherited from the
+            # combined repartition. The combined frames are unpersisted
+            # once the per-term caches are materialized.
+            todo = []
             for i, r in enumerate(rows):
-                variants = []
                 if i < top_df_terms:
-                    variants.append(False)
+                    todo.append((r["term"], int(r["df"]), False))
                 if i < positional_terms:
-                    variants.append(True)
-                for with_pos in variants:
-                    # direct co-partitioned fill (round 7): the serving
-                    # path's two-touch promotion exists to keep a raw
-                    # persisted frame out of a live query's critical
-                    # path; at bootstrap there is no live query, so the
-                    # raw twin is pure waste — decode→repartition→persist
-                    # straight into the promoted layout (halves the
-                    # cache-write work and the peak memory of warm())
-                    key = ("t", r["term"], with_pos)
-                    df = self._decoded_cache.get(key)
-                    if df is None:
-                        width = self._cache_partitions \
-                            if int(r["df"]) >= self.COPART_MIN_DF else 1
-                        df = (self._term_decode_plan(r["term"], with_pos)
-                              .repartition(width, "doc_id").persist())
-                        self._decoded_cache[key] = df
-                        while len(self._decoded_cache) > self.DECODED_CACHE_MAX:
-                            _, old = self._decoded_cache.popitem(last=False)
-                            old.unpersist()
-                    promoted.append(df)
+                    todo.append((r["term"], int(r["df"]), True))
+            todo = [t for t in todo
+                    if ("t", t[0], t[2]) not in self._decoded_cache]
+
+            def combined_frame(terms: list[str], with_pos: bool):
+                buckets = self._buckets_for_terms(terms)
+                out = decode_plan(
+                    self._postings
+                    .where(F.col("bucket").isin(buckets))
+                    .where(F.col("term").isin(terms)), with_pos)
+                if self._tomb is not None:
+                    out = out.join(self._tomb.select("doc_id"),
+                                   "doc_id", "left_anti")
+                # clustered by term so the in-memory columnar batch
+                # stats (min/max term per 10k-row batch) let every
+                # per-term filter below skip other terms' batches
+                width = max(2, self._cache_partitions // 4)
+                return (out.repartition(width, "term")
+                        .sortWithinPartitions("term").persist())
+
+            by_variant: dict[bool, list[str]] = {}
+            for term, dfc, wp in todo:
+                by_variant.setdefault(wp, []).append(term)
+            combined = {wp: combined_frame(ts, wp)
+                        for wp, ts in by_variant.items()}
+            for c in combined.values():
+                c.count()   # materialize once, before the per-term fan-out
+
+            def build_frame(term: str, df_count: int, with_pos: bool):
+                plan = combined[with_pos].where(F.col("term") == term)
+                if df_count >= self.COPART_MIN_DF:
+                    plan = plan.repartition(self._cache_partitions,
+                                            "doc_id")
+                else:
+                    plan = plan.coalesce(1)   # narrow — no exchange
+                return plan.persist()
+
+            # frame construction is driver-side py4j chatter — overlap it
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                built = list(pool.map(lambda a: build_frame(*a), todo))
+            promoted = []
+            for (term, dfc, wp), df in zip(todo, built):
+                self._decoded_cache[("t", term, wp)] = df
+                promoted.append(df)
+                while len(self._decoded_cache) > self.DECODED_CACHE_MAX:
+                    _, old = self._decoded_cache.popitem(last=False)
+                    old.unpersist()
             if promoted:
                 out = promoted[0].select("doc_id")
                 for p in promoted[1:]:
                     out = out.unionByName(p.select("doc_id"))
                 out.count()   # ONE action materializes every pinned frame
+            for c in combined.values():
+                c.unpersist()   # per-term caches are self-contained now
             warmed = len(promoted)
         return {"docs": int(n), "warmed_terms": warmed}
 
@@ -707,7 +742,13 @@ class SearchIndex:
             self._plan_volatile = True
             return df
         del self._decoded_raw[key]
-        df = raw.repartition(width, "doc_id").persist()
+        # width 1 = "one partition, please": coalesce is a NARROW dep —
+        # no exchange, the (small) term decodes in one task. Only head
+        # terms (≥ COPART_MIN_DF) pay the hash repartition that buys
+        # exchange-free boolean joins; small frames are auto-broadcast
+        # by size stats anyway, so their partitioning never matters.
+        df = (raw.coalesce(1) if width == 1
+              else raw.repartition(width, "doc_id")).persist()
         self._retired.append(raw)
         self._decoded_cache[key] = df
         while len(self._decoded_cache) > self.DECODED_CACHE_MAX:
