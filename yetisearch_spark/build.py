@@ -163,8 +163,7 @@ def _runs_kernel_factory(avgdl: float, block_size: int, num_salts: int,
     import pyarrow as pa
     from pyspark import TaskContext
 
-    from .postings import encode_posting_group_blobs
-    from .udfs import _venc
+    from .postings import encode_posting_batch
 
     out_schema = pa.schema([
         ("term", pa.string()), ("salt", pa.int32()),
@@ -175,82 +174,100 @@ def _runs_kernel_factory(avgdl: float, block_size: int, num_salts: int,
     ])
 
     def runs_kernel(batches):
+        # round 7: fully vectorized — tokens are dictionary-encoded to
+        # int codes, (term, doc) groups come from ONE lexsort (stable,
+        # so positions stay ascending within a group), and the whole
+        # batch's blocks are varint-encoded in a single pass
+        # (postings.encode_posting_batch). No per-token or per-doc
+        # Python loops anywhere. Output rows are identical to the old
+        # per-token kernel (pinned by test_build_kernel_equivalence).
         ctx = TaskContext.get()
         salt = (ctx.partitionId() if ctx is not None else 0) % num_salts
         batch_ord = 0
         for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                batch_ord += 1
+                continue
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             dls = batch.column("doc_len").to_numpy(zero_copy_only=False)
-            toks = batch.column("tokens").to_pylist()
-            flens = batch.column("field_lens").to_pylist() if multi_field \
-                else None
-            agg: dict = {}
-            for i, tlist in enumerate(toks):
-                if not tlist:
-                    continue
-                seen: dict = {}
-                if multi_field:
-                    # positions restart per field at f*FIELD_OFFSET
-                    j = 0
-                    for f, ln in enumerate(flens[i]):
-                        base = f * FIELD_OFFSET
-                        for jj in range(min(ln, FIELD_OFFSET)):
-                            t = tlist[j + jj]
-                            ps = seen.get(t)
-                            if ps is None:
-                                seen[t] = [base + jj]
-                            else:
-                                ps.append(base + jj)
-                        j += ln
-                else:
-                    for pos, t in enumerate(tlist):
-                        ps = seen.get(t)
-                        if ps is None:
-                            seen[t] = [pos]
-                        else:
-                            ps.append(pos)
-                d = int(doc_ids[i])
-                dl = int(dls[i])
-                for t, ps in seen.items():
-                    ent = agg.get(t)
-                    if ent is None:
-                        ent = agg[t] = ([], [], [], bytearray(), [])
-                    ids_l, tfs_l, dls_l, blob, lens_l = ent
-                    ids_l.append(d)
-                    tfs_l.append(len(ps))
-                    dls_l.append(dl)
-                    blen0 = len(blob)
-                    _venc((len(ps), ps[0]), blob)
-                    if len(ps) > 1:
-                        _venc([b - a for a, b in zip(ps, ps[1:])], blob)
-                    lens_l.append(len(blob) - blen0)
+            tok_arr = batch.column("tokens")
+            counts = tok_arr.value_lengths().fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = tok_arr.flatten()
+            if flat.null_count or len(flat) == 0:
+                # analyzer output is never null; fall back defensively
+                flat = flat.fill_null("") if len(flat) else flat
+            if int(counts.sum()) == 0:
+                batch_ord += 1
+                continue
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            vocab = denc.dictionary
+            tok_doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+            doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            in_doc = np.arange(codes.size, dtype=np.int64) \
+                - np.repeat(doc_starts, counts)
+            if multi_field:
+                # positions restart per field at f*FIELD_OFFSET; tokens
+                # beyond FIELD_OFFSET within one field are dropped (the
+                # documented truncation)
+                fl_arr = batch.column("field_lens")
+                fl = fl_arr.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                nfields = fl.size // n
+                seg_field = np.tile(np.arange(nfields, dtype=np.int64), n)
+                seg_starts = np.concatenate(([0], np.cumsum(fl)))[:-1]
+                tok_field = np.repeat(seg_field, fl)
+                jj = np.arange(codes.size, dtype=np.int64) \
+                    - np.repeat(seg_starts, fl)
+                pos = tok_field * FIELD_OFFSET + jj
+                keep = jj < FIELD_OFFSET
+                if not keep.all():
+                    codes, tok_doc, pos = codes[keep], tok_doc[keep], \
+                        pos[keep]
+            else:
+                pos = in_doc
 
-            cols = {k: [] for k in ("term", "salt", "block_id", "min_doc",
-                                    "max_doc", "n_docs", "block_max_norm",
-                                    "data", "tf_sum")}
-            for t, (ids_l, tfs_l, dls_l, blob, lens_l) in agg.items():
-                ids = np.asarray(ids_l, dtype=np.int64)
-                tfs = np.asarray(tfs_l, dtype=np.int64)
-                dlens = np.asarray(dls_l, dtype=np.int64)
-                offs = np.concatenate(([0], np.cumsum(lens_l))).astype(np.int64)
-                vals = np.frombuffer(bytes(blob), dtype=np.uint8)
-                rows = encode_posting_group_blobs(ids, tfs, dlens, offs, vals,
-                                                  block_size, avgdl)
-                for k, (bid, mind, maxd, nd, bmax, data) in enumerate(rows):
-                    b0 = k * block_size
-                    cols["term"].append(t)
-                    cols["salt"].append(salt)
-                    cols["block_id"].append(batch_ord * 4096 + bid)
-                    cols["min_doc"].append(mind)
-                    cols["max_doc"].append(maxd)
-                    cols["n_docs"].append(nd)
-                    cols["block_max_norm"].append(bmax)
-                    cols["data"].append(data)
-                    cols["tf_sum"].append(int(tfs[b0:b0 + nd].sum()))
-            if cols["term"]:
-                yield pa.RecordBatch.from_pydict(
-                    {k: pa.array(v, type=out_schema.field(k).type)
-                     for k, v in cols.items()}, schema=out_schema)
+            order = np.lexsort((pos, doc_ids[tok_doc], codes))
+            c_s = codes[order]
+            did_s = doc_ids[tok_doc][order]
+            pos_s = pos[order]
+            dl_s = dls[tok_doc][order]
+            g_new = np.empty(c_s.size, dtype=bool)
+            g_new[0] = True
+            g_new[1:] = (c_s[1:] != c_s[:-1]) | (did_s[1:] != did_s[:-1])
+            g_start = np.flatnonzero(g_new)
+            g_tf = np.diff(np.append(g_start, c_s.size))
+            # per-group position deltas (first absolute)
+            pdeltas = pos_s.copy()
+            pdeltas[1:] -= pos_s[:-1]
+            pdeltas[g_start] = pos_s[g_start]
+
+            (b_code, b_ord, min_doc, max_doc, b_ndocs, b_max, tf_sum,
+             d_offs, d_buf) = encode_posting_batch(
+                c_s[g_start], did_s[g_start], g_tf, dl_s[g_start],
+                pdeltas, block_size, avgdl)
+            B = b_code.size
+            if B == 0:
+                batch_ord += 1
+                continue
+            data_col = pa.Array.from_buffers(
+                pa.binary(), B,
+                [None, pa.py_buffer(d_offs.astype(np.int32)),
+                 pa.py_buffer(d_buf)])
+            yield pa.record_batch(
+                [vocab.take(pa.array(b_code)),
+                 pa.array(np.full(B, salt, dtype=np.int32)),
+                 pa.array((batch_ord * 4096 + b_ord).astype(np.int32)),
+                 pa.array(min_doc.astype(np.int64)),
+                 pa.array(max_doc.astype(np.int64)),
+                 pa.array(b_ndocs.astype(np.int32)),
+                 pa.array(b_max.astype(np.float64)),
+                 data_col,
+                 pa.array(tf_sum.astype(np.int64))],
+                schema=out_schema)
             batch_ord += 1
 
     return runs_kernel
@@ -357,7 +374,30 @@ def build_index(
                                 F.array(*[F.size(c) for c in tok_cols]))
                     .withColumn("doc_len", F.size("tokens"))
                     .drop(*tok_cols))
+        # round 7 (guide §1.4/§2.3): global stats ride the docs WRITE as
+        # observed metrics — the old stats stage re-read the docs table
+        # for a full aggregation pass
+        obs = None
+        if "doc_len" in docs.columns:
+            from pyspark.sql import Observation
+            obs = Observation()
+            docs = docs.observe(obs,
+                                F.count(F.lit(1)).alias("n_docs"),
+                                F.avg("doc_len").alias("avgdl"),
+                                F.sum("doc_len").alias("total_tokens"))
         docs.write.mode("overwrite").parquet(docs_path)
+        if obs is not None and not _stage_done(manifest, "stats"):
+            g = obs.get
+            gs_df = spark.createDataFrame(
+                [(int(g["n_docs"]),
+                  float(g["avgdl"]) if g["avgdl"] is not None else None,
+                  int(g["total_tokens"]) if g["total_tokens"] is not None
+                  else 0)],
+                "n_docs bigint, avgdl double, total_tokens bigint")
+            gs_df.write.mode("overwrite").parquet(gs_path)
+            _commit_stage(out_dir, manifest, "stats",
+                          {"n_docs": int(g["n_docs"]),
+                           "avgdl": float(g["avgdl"] or 0.0)}, 0.0)
         if preserve_doc_ids:
             _commit_stage(out_dir, manifest, "docs",
                           {"docs": parquet_row_count(docs_path),
@@ -437,21 +477,31 @@ def build_index(
                 .withColumn("bucket",
                             F.pmod(F.xxhash64("term"),
                                    F.lit(num_buckets)).cast("int")))
+        # round 7: per-bucket lineage counters ride the postings WRITE
+        # as observed conditional sums — the old read-back job re-read
+        # the whole postings table (including the data bytes) just to
+        # aggregate 32 rows
+        from pyspark.sql import Observation
+        obs_pb = Observation()
+        pb_aggs = []
+        for b in range(num_buckets):
+            cond = F.col("bucket") == b
+            pb_aggs += [
+                F.count(F.when(cond, 1)).alias(f"blk_{b}"),
+                F.sum(F.when(cond, F.col("n_docs"))).alias(f"post_{b}"),
+                F.sum(F.when(cond, F.length("data"))).alias(f"byte_{b}")]
+        runs = runs.observe(obs_pb, *pb_aggs)
         (runs.repartition(num_buckets, "bucket")
              .sortWithinPartitions("term", "salt", "min_doc")
              .write.mode("overwrite").partitionBy("bucket").parquet(post_path))
-        per_bucket = (
-            spark.read.parquet(post_path)
-                 .groupBy("bucket")
-                 .agg(F.count(F.lit(1)).alias("blocks"),
-                      F.sum("n_docs").alias("postings"),
-                      F.sum(F.length("data")).alias("bytes"))
-                 .collect()
-        )
+        pb = obs_pb.get
         _commit_stage(out_dir, manifest, "postings",
-                      {"per_bucket": {str(r["bucket"]): {
-                          "blocks": r["blocks"], "postings": int(r["postings"]),
-                          "bytes": int(r["bytes"])} for r in per_bucket}},
+                      {"per_bucket": {str(b): {
+                          "blocks": int(pb[f"blk_{b}"]),
+                          "postings": int(pb[f"post_{b}"] or 0),
+                          "bytes": int(pb[f"byte_{b}"] or 0)}
+                          for b in range(num_buckets)
+                          if int(pb[f"blk_{b}"]) > 0}},
                       time.time() - t0)
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)

@@ -387,6 +387,97 @@ def _decode_batch_fallback(boundaries: np.ndarray, buf: np.ndarray,
     return out + (pos_offsets, pos_values)
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (1..10)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    nbits[nbits == 0] = 1
+    return nbits
+
+
+def encode_posting_batch(g_code: np.ndarray, g_did: np.ndarray,
+                         g_tf: np.ndarray, g_dl: np.ndarray,
+                         pdeltas: np.ndarray,
+                         block_size: int, avgdl: float):
+    """Encode MANY (term, doc) posting groups into block rows in one
+    vectorized pass (round 7 — replaces the per-token/per-doc Python of
+    the runs kernel).
+
+    Inputs are flat arrays over G groups sorted by (g_code, g_did):
+    ``g_code`` int64 term codes, ``g_did`` doc ids, ``g_tf`` positions
+    per group, ``g_dl`` doc lengths, ``pdeltas`` the concatenated
+    per-group position DELTA records (first value absolute — exactly the
+    per-doc record layout of the block format, without the n_pos count).
+
+    → (b_code, b_ord, min_doc, max_doc, b_ndocs, b_max, tf_sum,
+       data_offsets int64[B+1], data_buf uint8) — data column ready for a
+    zero-copy Arrow BinaryArray.
+    """
+    G = g_code.size
+    empty = np.empty(0, np.int64)
+    if G == 0:
+        return (empty,) * 7 + (np.zeros(1, np.int64),
+                               np.empty(0, np.uint8))
+    # per-term group ordinals → block segmentation every block_size docs
+    t_new = np.concatenate(([True], g_code[1:] != g_code[:-1]))
+    t_start = np.flatnonzero(t_new)
+    t_counts = np.diff(np.append(t_start, G))
+    g_term_ord = np.arange(G, dtype=np.int64) \
+        - np.repeat(t_start, t_counts)
+    blk_of_g = g_term_ord // block_size
+    b_new = t_new.copy()
+    b_new[1:] |= blk_of_g[1:] != blk_of_g[:-1]
+    b_start = np.flatnonzero(b_new)
+    B = b_start.size
+    b_ndocs = np.diff(np.append(b_start, G))
+    b_code = g_code[b_start]
+    b_ord = blk_of_g[b_start]
+    min_doc = g_did[b_start]
+    max_doc = g_did[b_start + b_ndocs - 1]
+    norms = bm25_norm(g_tf, g_dl, avgdl)
+    b_max = np.maximum.reduceat(norms, b_start)
+    tf_sum = np.add.reduceat(g_tf, b_start)
+    p_per_block = tf_sum                      # n_pos == tf per doc
+
+    # global varint value stream: per block
+    #   [n][id_deltas×n][tfs×n][dls×n][per-doc: n_pos, pos deltas…]
+    blk_lens = 1 + 4 * b_ndocs + p_per_block
+    blk_val_start = np.concatenate(([0], np.cumsum(blk_lens)))[:-1]
+    total_vals = int(blk_lens.sum())
+    vals = np.empty(total_vals, dtype=np.uint64)
+    vals[blk_val_start] = b_ndocs.astype(np.uint64)
+    g_ord_in_blk = np.arange(G, dtype=np.int64) \
+        - np.repeat(b_start, b_ndocs)
+    base = np.repeat(blk_val_start + 1, b_ndocs)
+    nrep = np.repeat(b_ndocs, b_ndocs)
+    # id deltas: diff within block, first absolute
+    idd = g_did.astype(np.int64).copy()
+    idd[1:] -= g_did[:-1]
+    idd[b_start] = g_did[b_start]
+    vals[base + g_ord_in_blk] = idd.astype(np.uint64)
+    vals[base + nrep + g_ord_in_blk] = g_tf.astype(np.uint64)
+    vals[base + 2 * nrep + g_ord_in_blk] = g_dl.astype(np.uint64)
+    # per-doc records: region starts after the 3n header arrays
+    tf_excl = _segmented_cumsum(g_tf, b_start, b_ndocs) - g_tf
+    rec_slot = base + 3 * nrep + g_ord_in_blk + tf_excl
+    vals[rec_slot] = g_tf.astype(np.uint64)
+    vals[_ragged_gather_idx(rec_slot + 1, g_tf)] = \
+        pdeltas.astype(np.uint64)
+
+    buf = np.frombuffer(encode_varints(vals), dtype=np.uint8)
+    nbytes = varint_lengths(vals)
+    blk_bytes = np.add.reduceat(nbytes, blk_val_start)
+    data_offsets = np.concatenate(([0], np.cumsum(blk_bytes)))
+    return (b_code, b_ord, min_doc, max_doc, b_ndocs, b_max, tf_sum,
+            data_offsets.astype(np.int64), buf)
+
+
 def decode_posting_block(data: bytes, with_positions: bool = False):
     """→ (doc_ids, tfs, doc_lens[, positions list]) from one encoded block."""
     vals = decode_varints(data)
