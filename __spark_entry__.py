@@ -644,6 +644,33 @@ def q_engine_filtered_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull())
 
 
+def q_engine_filtered_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7 (verdict order 1): a metadata filter on a SINGLE-term
+    query — the most common real filtered shape — routes through the
+    engine facade's iterative-deepening page (unfiltered pruned top-k'
+    ∩ filter, page-exact by the total-order argument) with a
+    position-free exact filtered total (term light frame ∩ filter ids),
+    never paying the full head scoring sort. pruned_gate_blocks=0 forces
+    the route; the oracle recomputes the exact filtered BM25 top-10,
+    the filtered count, and the R5 page normalization from the
+    materialized token and role tables."""
+    from yetisearch_spark.engine import Engine, SearchQuery
+    idx = _engine_index(spark, sf_dir)
+    _mat_index_tokens(spark, idx, "engfs")
+    _materialize(idx._docs.select("doc_id", "role"), "engfs_roles")
+    eng = Engine(spark, {"main": idx.index_dir},
+                 config={"enable_fuzzy": False, "pruned_gate_blocks": 0})
+    res = eng.search("main", SearchQuery(
+        query="data", limit=10,
+        filters=[{"field": "role", "operator": "=", "value": "src13"}]))
+    rows = [(r["document"]["doc_id"], float(r["score"]), int(res["total"]))
+            for r in res["results"]]
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, score double, total long").where(
+        F.col("doc_id").isNotNull())
+
+
 def q_weighted_phrase_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-weighted phrase served through the block-max pruned tier
     (round 6): the phrase's pruned frame comes from the AND rule over
@@ -937,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pruned_facade": q_engine_pruned_facade,
         "engine_wor_facade": q_engine_wor_facade,
         "engine_filtered_and": q_engine_filtered_and,
+        "engine_filtered_single": q_engine_filtered_single,
         "weighted_phrase_pruned": q_weighted_phrase_pruned,
         "engine_deleted_search": q_engine_deleted_search,
         "near3_topk": q_near3_topk,
@@ -1326,6 +1354,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM inst i JOIN dl USING(doc_id) CROSS JOIN g CROSS JOIN ph)
             SELECT doc_id, round(s, 4) AS score FROM scored
             ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+        """,
+        "engine_filtered_single": f"""
+            WITH tok AS (SELECT doc_id, term
+                         FROM read_parquet('{MAT_DIR}/engfs_tokens/*.parquet')),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            g AS (SELECT n, avgdl
+                  FROM read_parquet('{MAT_DIR}/engfs_stats/*.parquet')),
+            tfs AS (SELECT doc_id, count(*) AS tf FROM tok
+                    WHERE term = 'data' GROUP BY doc_id),
+            dfs AS (SELECT count(*) AS df FROM tfs),
+            scored AS (
+                SELECT t.doc_id,
+                       {_idf_sql('d.df')} * t.tf * {K1 + 1.0}
+                       / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / g.avgdl)) AS s
+                FROM tfs t CROSS JOIN dfs d JOIN dl USING(doc_id)
+                CROSS JOIN g),
+            fil AS (SELECT sc.doc_id, sc.s FROM scored sc
+                    JOIN read_parquet('{MAT_DIR}/engfs_roles/*.parquet') r
+                      USING(doc_id)
+                    WHERE r.role = 'src13'),
+            sel AS (SELECT doc_id, s FROM fil ORDER BY s DESC, doc_id LIMIT 10)
+            SELECT doc_id,
+                   round(s / (SELECT max(s) FROM sel) * 100.0, 1) AS score,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fil) AS total
+            FROM sel ORDER BY s DESC, doc_id
         """,
         "engine_filtered_and": f"""
             WITH tok AS (SELECT doc_id, term

@@ -429,6 +429,52 @@ class Engine:
 
     # -- core search ---------------------------------------------------------
 
+    def _filtered_pruned_scores(self, idx: SearchIndex, node, fetch_n: int,
+                                filters: list, wvec):
+        """Round 7 (verdict order 1): engine-facade FILTERED single/OR
+        through iterative deepening — the unfiltered pruned top-k' is
+        page-exact in the total order, so when ≥ fetch_n of the k'
+        candidates survive the filter, the first fetch_n survivors ARE
+        the exact filtered page (same argument as
+        SearchIndex._filtered_pruned_page). The exact filtered TOTAL
+        comes from a position-FREE membership count: union of the query
+        terms' light decoded frames ∩ the filter ids — the same light
+        frames the exact path would read, minus its full scoring sort.
+        Returns (page_scores, count_frame) or None to fall through."""
+        from .wand import _is_simple, pruned_scored
+        ok, terms, sh = _is_simple(node)
+        if not ok or sh not in ("single", "or"):
+            return None
+        fids = apply_filters(idx._docs, filters).select("doc_id")
+        surv = None
+        for i, kp in enumerate((max(4 * fetch_n, 64),
+                                max(16 * fetch_n, 256))):
+            scored, info = pruned_scored(idx, node, kp,
+                                         gate_blocks=idx.pruned_gate_blocks,
+                                         wvec=wvec)
+            if scored is None:
+                return None          # shape/tombstone/estimate gate
+            topkp = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                     .limit(kp))
+            cand = fids.join(F.broadcast(topkp), "doc_id")
+            if cand.count() >= fetch_n:
+                surv = cand
+                break
+            if i == 1:
+                return None          # filter defeated both rounds
+        stats = idx.term_stats_for(sorted(set(terms)))
+        live = sorted(t for t in set(terms) if t in stats)
+        if not live:
+            return None
+        parts = [idx._decoded_for_term(t, with_positions=False)
+                 .select("doc_id") for t in live]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        if len(parts) > 1:
+            u = u.dropDuplicates()
+        return surv.select("doc_id", "score"), u.join(fids, "doc_id")
+
     def _matches_with_docs(self, idx: SearchIndex, q: SearchQuery,
                            node=None) -> DataFrame:
         if node is None:
@@ -662,7 +708,26 @@ class Engine:
             from .wand import _is_simple
             ok_sh, _sh_terms, sh = _is_simple(node)
             docs_in_set_ok = ok_sh and sh in ("and", "phrase", "near")
-        if (node is not None and not two_pass
+        # round 7 (verdict order 1): a FILTERS-ONLY single/OR query (the
+        # most common real filtered shape) routes through the iterative
+        # deepening page + position-free exact filtered total instead of
+        # the full head decode; sorts/facets/aggregations/geo keep the
+        # exact docs_in_set path (they need the complete filtered set).
+        filtered_served = False
+        if (docs_in_set and q.filters and not q.sort and not route_live
+                and not persist_matched and not geo_live and not two_pass
+                and not cursor_live and node is not None
+                and (idx.pruned_gate_blocks is None
+                     or idx.pruned_gate_blocks >= 0)):
+            r = self._filtered_pruned_scores(
+                idx, node, fetch_n, q.filters,
+                idx._normalize_weights(bm25_weights))
+            if r is not None:
+                scores, cf = r
+                pruned_count = (cf, 0)
+                docs_in_set = False
+                filtered_served = True
+        if (scores is None and node is not None and not two_pass
                 and not cursor_live
                 and (not docs_in_set or docs_in_set_ok)
                 and (idx.pruned_gate_blocks is None
@@ -786,8 +851,8 @@ class Engine:
             # only the standard path keeps the fetched order
             raw_pairs = ([(int(d["doc_id"]), float(d["score"]))
                           for d in rows]
-                         if not (docs_in_set or two_pass or overfetch
-                                 or q.min_score > 0) else None)
+                         if not (docs_in_set or filtered_served or two_pass
+                                 or overfetch or q.min_score > 0) else None)
 
             # ---- driver-side processResults (row-level, ≤ fetch_n rows) ----
             if rescore_live and not route_live:

@@ -1342,6 +1342,20 @@ class SearchIndex:
                 / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double")
                               / self.avgdl)))
 
+    def _contrib_expr_weighted_tfonly(self, idf: float, w0: float):
+        """Single-FIELD weighted contribution from the tf column alone
+        (round 7): with one field every position maps to field 0, so the
+        positional tally is a left fold adding w0 exactly tf times —
+        reproduced bit-for-bit by folding over sequence(1, tf) (same
+        IEEE add chain of the same constant), no positions decoded.
+        Unlocks position-free pruned serving for weighted single/OR."""
+        k1, b = BM25_K1, BM25_B
+        tf = F.aggregate(F.sequence(F.lit(1), F.col("tf")), F.lit(0.0),
+                         lambda acc, _x: acc + F.lit(float(w0)))
+        return (F.lit(idf) * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double")
+                              / self.avgdl)))
+
     def _normalize_weights(self, weights) -> Optional[tuple[float, ...]]:
         """dict {field: w} or sequence → weight vector in index-field
         order; None when uniform (unweighted fast path)."""

@@ -489,10 +489,19 @@ def pruned_scored(index: SearchIndex, node, k: int,
     idf = {t: index.idf(stats[t][0]) for t in terms}
     block_size = int(index.manifest.get("config", {}).get("block_size", 128))
     est_blocks = {t: max(1, -(-stats[t][0] // block_size)) for t in terms}
+    # round 7 (verdict order 2): single-FIELD weighted single/OR never
+    # needs positions (the weighted tally is a fold of w0 over tf —
+    # _contrib_expr_weighted_tfonly reproduces it bit-exactly from the
+    # tf column), so the scaled-bounds selection runs at ANY scale —
+    # above the driver cap it is the Spark-path selection, and the
+    # no-bite worst case decodes light frames, not positional ones.
+    posfree_weighted = (wvec is not None and len(index.fields) == 1
+                        and shape in ("single", "or"))
     if wscale is not None and shape in ("single", "or", "wor") \
+            and not posfree_weighted \
             and sum(est_blocks.values()) > driver_cap:
-        # beyond the driver-selection cap the scaled bounds' no-bite case
-        # would decode EVERYTHING with positions through the Spark
+        # multi-field (or mixed-slot wor): the scaled bounds' no-bite
+        # case would decode EVERYTHING with positions through the Spark
         # selection machinery — at that block count the exact path is
         # never worse; route there (zero jobs spent, est is driver math)
         info["reason"] = "weighted-head"
@@ -607,8 +616,10 @@ def pruned_scored(index: SearchIndex, node, k: int,
     # never hit ReusedExchange)
     ISIN_CAP = 2048  # literal min_doc lists beyond this go via semi-join
     # positional kernels downstream? (wvec: weighted tallies read the
-    # per-instance field bits, so the AND shape decodes positions too)
-    need_pos = shape in ("phrase", "near") or wvec is not None \
+    # per-instance field bits, so the AND shape decodes positions too;
+    # single-field single/OR reweight from tf alone — position-free)
+    need_pos = shape in ("phrase", "near") \
+        or (wvec is not None and not posfree_weighted) \
         or (wor is not None and wor["need_pos"])
 
     def term_frame(t: str) -> DataFrame:
@@ -829,9 +840,13 @@ def pruned_scored(index: SearchIndex, node, k: int,
                                                        stats)}
     if shape == "single":
         t = terms[0]
-        contrib_1 = (index._contrib_expr("tf", idf[t]) if wvec is None
-                     else index._contrib_expr_weighted("positions", idf[t],
-                                                       wvec))
+        if wvec is None:
+            contrib_1 = index._contrib_expr("tf", idf[t])
+        elif posfree_weighted:
+            contrib_1 = index._contrib_expr_weighted_tfonly(idf[t], wvec[0])
+        else:
+            contrib_1 = index._contrib_expr_weighted("positions", idf[t],
+                                                     wvec)
         scored = frames[t].select("doc_id", contrib_1.alias("score"))
     elif shape == "and" and all(
             d <= index.BROADCAST_DF_CAP
@@ -866,9 +881,13 @@ def pruned_scored(index: SearchIndex, node, k: int,
         # AND additionally requires every slot present
         contribs = None
         for i, t in enumerate(terms):
-            c_expr = (index._contrib_expr("tf", idf[t]) if wvec is None
-                      else index._contrib_expr_weighted("positions", idf[t],
-                                                        wvec))
+            if wvec is None:
+                c_expr = index._contrib_expr("tf", idf[t])
+            elif posfree_weighted:
+                c_expr = index._contrib_expr_weighted_tfonly(idf[t], wvec[0])
+            else:
+                c_expr = index._contrib_expr_weighted("positions", idf[t],
+                                                      wvec)
             branch = (frames[t]
                       .select("doc_id", F.lit(i).alias("slot"),
                               c_expr.alias("c")))
