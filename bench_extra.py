@@ -80,6 +80,38 @@ def main() -> None:
             runs.append(time.time() - t0)
         t["engine_or_hot"] = round(sorted(runs)[2], 4)
 
+    if "deep_page" in legs:
+        # page ~100 of the head-term result set: cursor+pruned (suffix
+        # deepening) vs cursor+exact (full scoring sort per page)
+        spark.sparkContext.setJobDescription("extra: deep cursor page")
+        pruned_ix = SearchIndex(spark, skew_idx_dir,
+                                cache_postings=False, cache_docs=False)
+        pruned_ix.pruned_gate_blocks = 0
+        exact_ix = SearchIndex(spark, skew_idx_dir,
+                               cache_postings=False, cache_docs=False)
+        exact_ix.pruned_gate_blocks = -1
+        pruned_ix.term_stats_for(["zzhead"])
+        exact_ix.term_stats_for(["zzhead"])
+        # two cursor depths: rank 100 sits inside the spike region where
+        # θ bites hard; rank 1000 is in the flat tie plateau where no
+        # block selection can help (the route must detect that and fall
+        # back with bounded overhead)
+        rows = exact_ix.search("zzhead", k=1000).collect()
+        for depth in (10, 100, 1000):
+            row = rows[depth - 1]
+            after = (row["score"], row["doc_id"])
+            for name, ix in [(f"page{depth}_exact", exact_ix),
+                             (f"page{depth}_pruned", pruned_ix)]:
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    out = ix.search("zzhead", k=10, after=after)
+                    out.collect()
+                    runs.append(time.time() - t0)
+                    for g in list(ix._handle_groups):
+                        ix.release(g)
+                t[name] = round(sorted(runs)[1], 4)
+
     if {"wor_engine", "phrase_filtered_engine", "skew_exact"} & set(legs):
         from yetisearch_spark.query import parse_query as _pq
         wor_q = ('"zzhead zzrare" OR NEAR("zzrare" "zzhead", 3) '

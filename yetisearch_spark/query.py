@@ -1717,10 +1717,12 @@ class SearchIndex:
         (score DESC, doc_id ASC) order. This is the scale-safe deep-
         pagination path (O7 stretch): offset pagination sorts
         offset+k rows per page (page 10⁶ of a 10¹²-doc result set is a
-        10⁷-row TakeOrdered per page), the cursor always sorts k. Cursor
-        queries take the exact path: the pruned tier's θ bounds the
-        TOP-k only — blocks that cannot reach page 1 may still hold page
-        n, so block pruning is unsound under a cursor.
+        10⁷-row TakeOrdered per page), the cursor always sorts k.
+        Round 7: cursor pages route through the pruned tier by suffix
+        deepening (_cursor_pruned_page) — the after-cursor rows are a
+        contiguous SUFFIX of the total order, so a pruned top-k' with
+        ≥ k after-cursor survivors is page-exact; pages too deep for
+        the geometric rounds fall back to the exact path.
 
         → (doc_id, score) [+ doc columns], best-first, ties by doc_id.
         """
@@ -1771,6 +1773,12 @@ class SearchIndex:
                 topk._pruning_stats = info.get(  # type: ignore[attr-defined]
                     "prune_stats")
                 return topk
+        if (after is not None and not filters and node is not None
+                and (self.pruned_gate_blocks is None
+                     or self.pruned_gate_blocks >= 0)):
+            page = self._cursor_pruned_page(node, k, after, with_docs, wvec)
+            if page is not None:
+                return page
         scores = self.match_scores(node, weights=weights)
         handles = getattr(scores, "_ys_handles", [])
         if filters:
@@ -1847,6 +1855,69 @@ class SearchIndex:
             topk = (self._docs.join(F.broadcast(topk), "doc_id")
                     .orderBy(F.desc("score"), F.asc("doc_id")))
         return topk
+
+    def _cursor_pruned_page(self, node, k, after, with_docs,
+                            wvec: tuple | None = None):
+        """Cursor pages through the pruned tier by SUFFIX deepening
+        (round 7, verdict order 3). The pruned top-k' is the exact first
+        k' rows of the total order (score DESC, doc_id ASC); the
+        after-cursor predicate keeps a contiguous SUFFIX of that order,
+        so when ≥ k of the k' rows lie after the cursor, the first k of
+        them ARE the exact next page — and when k' ≥ n_docs the pruned
+        frame holds every match, so fewer survivors is just the final
+        page. k' grows geometrically (total cost ≤ ~2× the last round);
+        a cursor deeper than the cap returns None and the caller falls
+        back to the exact path. With the default cost gate the deep
+        rounds also self-gate: the per-k gate floor grows with k', so
+        pruning only engages where the block count justifies it."""
+        from .wand import pruned_scored
+        s_a, d_a = float(after[0]), int(after[1])
+        kp = max(4 * k, 64)
+        # two rounds, like the filtered deepening: a page-by-page cursor
+        # walk (the real serving pattern — each next page sits ~k ranks
+        # after the cursor) succeeds in round 1; a deep re-entry pays at
+        # most two cheap pruned rounds before the exact fallback, and at
+        # scale those rounds cost ∝ selected blocks ≪ the full decode.
+        # (Measured at 1M docs: page-2 pruned 0.56s vs exact 0.89s;
+        # rank-1000 re-entry bails to exact via the bite-check below.)
+        cap = max(16 * k, 256)
+        while kp <= cap:
+            scored, info = pruned_scored(self, node, kp,
+                                         gate_blocks=self.pruned_gate_blocks,
+                                         wvec=wvec)
+            if scored is None:
+                return None          # shape/tombstone/estimate gate
+            ps = info.get("prune_stats")
+            if ps and ps.get("blocks_total") \
+                    and ps["blocks_decoded"] > 0.5 * ps["blocks_total"]:
+                # θ stopped biting at this depth (flat score plateau —
+                # the weakened k'-th bound no longer excludes blocks):
+                # this round ≈ a full decode, and deeper rounds only get
+                # worse; the exact path does that one full pass better
+                return None
+            topkp = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                     .limit(kp))
+            surv = topkp.where(
+                (F.col("score") < F.lit(s_a))
+                | ((F.col("score") == F.lit(s_a))
+                   & (F.col("doc_id") > F.lit(d_a)))).persist()
+            n_surv = surv.count()
+            if n_surv >= k or kp >= int(self.n_docs):
+                # ≥ k survivors → page-exact; k' ≥ n_docs → the pruned
+                # frame holds every match, so a short page is the final
+                # page. The persisted survivors feed the page action
+                # directly (no recompute of the round).
+                self._register_handles([surv])
+                topk = (surv.orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(k))
+                if with_docs:
+                    topk = (self._docs.join(F.broadcast(topk), "doc_id")
+                            .orderBy(F.desc("score"), F.asc("doc_id")))
+                topk._ys_handles = [surv]  # type: ignore[attr-defined]
+                return topk
+            surv.unpersist()
+            kp *= 4
+        return None                  # cursor too deep for the rounds
 
     def count(self, query) -> int:
         """Match count (reference M8, src/Storage/SqliteStorage.php:1275-1358)."""
