@@ -189,6 +189,70 @@ def load_deleted_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(p)
 
 
+def _pending_delta_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "deleted_df_pending")
+
+
+def _delta_frame(spark: SparkSession, index_dir: str,
+                 victims: DataFrame, batch_id: str) -> DataFrame:
+    """Per-term deleted-df/cf deltas for ``victims``, tagged with the
+    delete batch id (replay idempotency key). The scan reads the RAW
+    docs union (no tombstone filter — the victims are tombstoned by the
+    time this runs, so a SegmentedIndex view would hide exactly the rows
+    whose tokens we need)."""
+    from .build import load_docs
+    raw = None
+    for p in [index_dir] + [segment_dir(index_dir, e)
+                            for e in list_segments(index_dir)]:
+        dd = load_docs(spark, p, load_manifest(p))
+        raw = dd if raw is None else raw.unionByName(dd)
+    return (raw.join(victims, "doc_id", "left_semi")
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df"),
+                 F.count(F.lit(1)).cast("long").alias("cf"))
+            .withColumn("batch", F.lit(batch_id)))
+
+
+def _replay_pending_deltas(spark: SparkSession, index_dir: str) -> None:
+    """Heal a delete batch that crashed between its tombstone append and
+    its delta append (advice r6 #3): the per-batch marker written BEFORE
+    the tombstones records the victim set; if the batch's deltas never
+    landed, write them for the victims that DID get tombstoned, then
+    drop the marker. Idempotent: committed batches are recognized by
+    their batch tag in deleted_df (read with mergeSchema — merge
+    rewrites drop the tag column), and post-compaction markers resolve
+    to an empty tombstoned set (physically applied deletes need no
+    deltas)."""
+    import shutil
+    pend = _pending_delta_dir(index_dir)
+    if not os.path.isdir(pend):
+        return
+    for bid in os.listdir(pend):
+        bdir = os.path.join(pend, bid)
+        if not os.path.isdir(bdir):
+            continue
+        done = False
+        if os.path.isdir(deleted_df_path(index_dir)):
+            dd = (spark.read.option("mergeSchema", "true")
+                  .parquet(deleted_df_path(index_dir)))
+            if "batch" in dd.columns:
+                done = dd.where(F.col("batch") == bid).limit(1).count() > 0
+        if not done:
+            victims_m = spark.read.parquet(bdir)
+            tombs = load_tombstones(spark, index_dir)
+            if tombs is not None:
+                applied = victims_m.join(tombs.select("doc_id")
+                                         .dropDuplicates(),
+                                         "doc_id", "left_semi")
+                if applied.limit(1).count() > 0:
+                    (_delta_frame(spark, index_dir, applied, bid)
+                     .write.mode("append")
+                     .parquet(deleted_df_path(index_dir)))
+                    bump_epoch(index_dir)
+        shutil.rmtree(bdir, ignore_errors=True)
+
+
 def _record_tombstones(spark: SparkSession, index_dir: str,
                        victims: DataFrame) -> int:
     """Central S5 delete bookkeeping (round-5): dedupe the victim set
@@ -198,7 +262,16 @@ def _record_tombstones(spark: SparkSession, index_dir: str,
     bump the epoch. Serving subtracts the deltas from merged term stats,
     making segmented df/idf EXACT under deletes (scores identical to the
     compacted index at 1e-9 — the round-4 <25% drift bound is retired).
-    Returns the number of NEWLY tombstoned docs."""
+    Returns the number of NEWLY tombstoned docs.
+
+    Crash safety (round 7, advice r6 #3): a per-batch victim MARKER is
+    written before the tombstone append; the next mutation replays the
+    delta write from it if the crash window between the two appends was
+    hit (a bare retry dedupes the victims away and would otherwise
+    leave df permanently over-counted until compaction)."""
+    import shutil
+    import uuid
+    _replay_pending_deltas(spark, index_dir)
     victims = victims.select("doc_id").dropDuplicates()
     existing = load_tombstones(spark, index_dir)
     if existing is not None:
@@ -209,31 +282,29 @@ def _record_tombstones(spark: SparkSession, index_dir: str,
         n_new = victims.count()
         if n_new == 0:
             return 0
-        # tombstone rows FIRST, deltas second: a crash between the two
-        # writes then only OVER-counts df for the victims (deleted docs
-        # still counted — the conservative pre-delta behavior, healed at
-        # the next compaction). The reverse order would permanently
-        # UNDER-count df for docs that stay visible: scores drift low and
-        # fully-"deleted" terms vanish from the vocabulary (df>0 filter)
-        # while their docs are still served. A retried delete dedupes the
-        # already-tombstoned victims away, so the delta append is
-        # all-or-nothing per victim set.
-        victims.write.mode("append").parquet(tombstone_path(index_dir))
-        # the delta scan reads the RAW docs union (no tombstone filter —
-        # the victims were just tombstoned above, so a SegmentedIndex
-        # view would hide exactly the rows whose tokens we need)
-        from .build import load_docs
-        raw = None
-        for p in [index_dir] + [segment_dir(index_dir, e)
-                                for e in list_segments(index_dir)]:
-            dd = load_docs(spark, p, load_manifest(p))
-            raw = dd if raw is None else raw.unionByName(dd)
-        deltas = (raw.join(victims, "doc_id", "left_semi")
-                  .select("doc_id", F.explode("tokens").alias("term"))
-                  .groupBy("term")
-                  .agg(F.countDistinct("doc_id").cast("long").alias("df"),
-                       F.count(F.lit(1)).cast("long").alias("cf")))
-        deltas.write.mode("append").parquet(deleted_df_path(index_dir))
+        # marker FIRST, tombstone rows second, deltas third: any crash
+        # between the writes is healed by _replay_pending_deltas (the
+        # marker holds the victim set; tombstoned-but-delta-less victims
+        # get their deltas on the next mutation). The tombstone-before-
+        # delta order keeps the unhealed window conservative (df briefly
+        # OVER-counted, never under).
+        #
+        # All writes after the marker use a RE-READ of the marker file,
+        # not the `victims` plan: appending to the tombstones path
+        # triggers Spark's recacheByPath on every cached plan reading
+        # that path — including victims itself (its dedupe anti-joins
+        # the tombstones), which silently recomputes to EMPTY against
+        # the new file list. The round-6 code hit exactly that on every
+        # delete batch after the first (empty delta appends → df
+        # over-count); pinned by test_round7_delete_marker.
+        bid = uuid.uuid4().hex
+        bdir = os.path.join(_pending_delta_dir(index_dir), bid)
+        victims.write.mode("overwrite").parquet(bdir)
+        stable = spark.read.parquet(bdir)
+        stable.write.mode("append").parquet(tombstone_path(index_dir))
+        (_delta_frame(spark, index_dir, stable, bid)
+         .write.mode("append").parquet(deleted_df_path(index_dir)))
+        shutil.rmtree(bdir, ignore_errors=True)
         bump_epoch(index_dir)
         return n_new
     finally:
