@@ -1242,7 +1242,47 @@ class SearchIndex:
         phrase_df: dict = {}
         pending: list = []   # (node, cache_key) needing the batched count job
         near_members = {p for nr in _unique_nears(node) for p in nr.phrases}
-        for p in _unique_phraselike(node):
+        phraselikes = _unique_phraselike(node)
+        # round 7: with the decoded-postings cache OFF, a term consumed by
+        # several subtrees (bare slot + phrase constituent + NEAR member —
+        # the M7 shape) re-scans and re-decodes once per consumer inside
+        # ONE action. Persist such terms' decoded frames for the query
+        # (released with the other handles) and feed them to every
+        # consumer; if ANY use needs positions the positional variant is
+        # shared (light users read a column subset of it).
+        shared_frames: dict | None = None
+        if not self._cache_postings:
+            # plan references per term frame: one per standalone scoring
+            # slot + one per unique NEAR membership (multi-term phrase
+            # constituents decode inside their own persisted table)
+            use_count: dict[str, int] = {}
+            pos_need: dict[str, bool] = {}
+            for s in slots:
+                if s[0] != "phrase":
+                    continue
+                pn = s[1]
+                if isinstance(pn, PrefixNode) or len(pn.terms) != 1:
+                    continue
+                t = pn.terms[0]
+                use_count[t] = use_count.get(t, 0) + 1
+                pos_need[t] = (pos_need.get(t, False) or wvec is not None
+                               or pn in near_members)
+            for nr in _unique_nears(node):
+                for p in set(nr.phrases):
+                    if len(p.terms) == 1:
+                        t = p.terms[0]
+                        use_count[t] = use_count.get(t, 0) + 1
+                        pos_need[t] = True
+            shared = [t for t, n in use_count.items()
+                      if n > 1 and t in term_stats]
+            if shared:
+                shared_frames = {}
+                for t in shared:
+                    f = (self._term_decode_plan(t, pos_need[t])
+                         .persist())
+                    handles.append(f)
+                    shared_frames[t] = f
+        for p in phraselikes:
             if isinstance(p, PrefixNode):
                 key = ("pref", p.prefix)
                 phrase_tables[p] = materialize(key, lambda p=p: self._prefix_match(p))
@@ -1252,8 +1292,12 @@ class SearchIndex:
                 # position-varint decode unless this slot feeds a NEAR
                 # trim or field-weighted (positions>>FIELD_SHIFT) scoring
                 need_pos = wvec is not None or p in near_members
-                phrase_tables[p] = self._term_match(p.terms[0], in_vocab,
-                                                    with_positions=need_pos)
+                if shared_frames is not None and p.terms[0] in shared_frames:
+                    phrase_tables[p] = shared_frames[p.terms[0]].select(
+                        "doc_id", "tf", "doc_len", "positions")
+                else:
+                    phrase_tables[p] = self._term_match(
+                        p.terms[0], in_vocab, with_positions=need_pos)
                 phrase_df[p] = term_stats.get(p.terms[0], (0, 0))[0]
                 continue
             elif any(t not in term_stats for t in p.terms):
@@ -1263,8 +1307,14 @@ class SearchIndex:
                 phrase_df[p] = 0
                 continue
             else:
+                # NB: the multi-term phrase kernel keeps its own
+                # rarest-first broadcast chain (feeding it the shared
+                # full frames would flip it to plain joins and shuffle
+                # the head side); its internal decode runs once because
+                # the table is persisted below.
                 key = ("ph", p.terms)
-                phrase_tables[p] = materialize(key, lambda p=p: self._phrase_match(p))
+                phrase_tables[p] = materialize(
+                    key, lambda p=p: self._phrase_match(p))
             if key in self._df_count_cache:
                 phrase_df[p] = self._df_count_cache[key]
             else:
